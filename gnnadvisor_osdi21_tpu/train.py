@@ -1,0 +1,107 @@
+"""Training loop + timing protocol (reference GNNA_main.py:177-203).
+
+- Adam, lr=0.01 (GNNA_main.py:177) via optax;
+- loss = NLL of log-softmax outputs against labels over **all** nodes
+  (train mask is 100%, GNNA_main.py:185, dataset.py:48);
+- epoch timing: 10 dry-run epochs, then ``num_epochs`` timed with device
+  fences — ``block_until_ready`` standing in for ``cuda.synchronize``
+  (GNNA_main.py:189-202).
+
+The step is a single jitted function with donated carry, so XLA fuses the
+whole forward+backward+Adam update into one executable — the TPU analog of
+the reference's per-layer kernel launches, minus the Python overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gnnadvisor_osdi21_tpu.models import gcn_apply, gin_apply, init_gcn, init_gin
+from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors
+
+
+def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean negative log-likelihood, matching F.nll_loss(reduction='mean')."""
+    return -jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=1).mean()
+
+
+def make_train_step(
+    apply_fn: Callable,
+    gts: Sequence[GraphTensors],
+    optimizer: optax.GradientTransformation,
+):
+    """Build a jitted (params, opt_state, x, y) -> (params, opt_state, loss)."""
+
+    def loss_fn(params, x, y):
+        return nll_loss(apply_fn(params, x, gts), y)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def build_model(
+    model: str,
+    key: jax.Array,
+    in_dim: int,
+    hidden: int,
+    num_classes: int,
+):
+    """(params, apply_fn) for 'gcn' (2-layer) or 'gin' (5-layer)."""
+    if model == "gcn":
+        return init_gcn(key, in_dim, hidden, num_classes), gcn_apply
+    if model == "gin":
+        return init_gin(key, in_dim, hidden, num_classes), gin_apply
+    raise ValueError(f"unknown model: {model}")
+
+
+def train_and_time(
+    model: str,
+    gts: Sequence[GraphTensors],
+    x: jax.Array,
+    y: jax.Array,
+    hidden: int,
+    num_classes: int,
+    num_epochs: int = 200,
+    dry_run: int = 10,
+    lr: float = 0.01,
+    seed: int = 0,
+) -> dict:
+    """Run the reference timing protocol; returns timings + final loss."""
+    params, apply_fn = build_model(
+        model, jax.random.PRNGKey(seed), x.shape[1], hidden, num_classes
+    )
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(apply_fn, gts, optimizer)
+
+    loss = jnp.zeros(())
+    compile_start = time.perf_counter()
+    for _ in range(dry_run):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+    warmup_s = time.perf_counter() - compile_start
+
+    start = time.perf_counter()
+    for _ in range(num_epochs):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    jax.block_until_ready(loss)
+    train_s = time.perf_counter() - start
+
+    return {
+        "epoch_ms": train_s * 1e3 / num_epochs,
+        "warmup_s": warmup_s,
+        "final_loss": float(loss),
+        "num_epochs": num_epochs,
+    }

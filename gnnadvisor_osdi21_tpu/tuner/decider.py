@@ -1,0 +1,216 @@
+"""The input-adaptive parameter decider ("Advisor"), re-targeted at TPU.
+
+The reference's ``inputProperty.decider()`` (param.py:51-120) derives CUDA
+launch parameters from cheap graph statistics:
+
+- ``partSize = int(avg_degree)``              (param.py:73)
+- ``dimWorker = min(dim, 32)``                (param.py:96-106)
+- ``warpPerBlock`` from a shared-memory budget (param.py:75-94)
+- reorder iff ``sqrt(avgEdgeSpan) > sqrt(N)/100`` (param.py:110)
+- per-layer (input vs hidden) parameter sets   (param.py:122-141)
+
+The TPU analog keeps the same decision structure but targets TPU resources:
+
+- **aggregation path** — the biggest lever on TPU is *which kernel shape*
+  to use, not launch geometry: dense MXU matmul for small graphs, padded
+  neighbor-group (ELL) gather/segment-sum for large ones, per-edge COO for
+  extremely skewed degree distributions where ELL padding would waste
+  bandwidth.
+- ``part_size``       — neighbor-group width, from avg degree, clamped and
+  rounded to sublane-friendly sizes (the partSize analog).
+- ``feature_tile``    — lane-dimension tile ``min(round_up(dim, 8), 128)``
+  (the dimWorker analog: 128 lanes instead of 32 threads).
+- ``block_parts``     — part rows per Pallas grid step, from a VMEM budget
+  (the warpPerBlock/sharedMem analog: VMEM is the shared-memory analog).
+- per-layer configs: the input layer sees ``dim`` features, hidden layers
+  see ``hidden`` — same split as set_input/set_hidden.
+
+Manual mode passes user parameters straight through, as in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
+from gnnadvisor_osdi21_tpu.graphs.partition import build_neighbor_groups
+from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors, build_graph_tensors
+
+# TPU resource model (v5e-class defaults).
+VMEM_BUDGET_BYTES = 16 * 1024 * 1024  # per-core VMEM (the sharedMem analog)
+VMEM_FRACTION = 0.4  # same safety fraction the reference applies (param.py:45)
+LANE_WIDTH = 128
+SUBLANE = 8
+MAX_BLOCK_PARTS = 1024  # MAX_warpPerBlock analog: cap on rows per grid step
+DENSE_MAX_NODES = 4096  # above this, an N×N adjacency stops being a win
+ELL_MAX_WASTE = 0.75  # fall back to COO when padding waste exceeds this
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class LayerConfig:
+    """Per-layer kernel parameters (the set_input/set_hidden analog)."""
+
+    method: str  # "dense" | "ell" | "coo" | "pallas"
+    part_size: int
+    feature_tile: int  # lanes per feature tile (dimWorker analog)
+    block_parts: int  # part rows per kernel block (warpPerBlock analog)
+    feature_dim: int
+
+
+class InputProperty:
+    """Bundles graph + model dims + perf parameters; owns the decider.
+
+    API parity with ``inputProperty`` (param.py:4-49): constructed with the
+    graph and manual parameters, then ``decider()`` fills in the rest.
+    """
+
+    def __init__(
+        self,
+        graph: GraphCSR,
+        hidden_dim: int,
+        part_size: Optional[int] = None,
+        feature_tile: Optional[int] = None,
+        block_parts: Optional[int] = None,
+        vmem_budget: int = VMEM_BUDGET_BYTES,
+        method: Optional[str] = None,
+        enable_reorder: bool = False,
+        manual_mode: bool = False,
+        verbose: bool = False,
+    ):
+        self.graph = graph
+        self.input_dim = graph.num_features
+        self.hidden_dim = hidden_dim
+        self.part_size = part_size
+        self.feature_tile = feature_tile
+        self.block_parts = block_parts
+        self.vmem_budget = int(vmem_budget * VMEM_FRACTION)
+        self.method = method
+        self.enable_reorder = enable_reorder
+        self.manual_mode = manual_mode
+        self.verbose = verbose
+
+        self.reorder_status = False
+        self.layer_input: Optional[LayerConfig] = None
+        self.layer_hidden: Optional[LayerConfig] = None
+
+    # -- decision helpers ---------------------------------------------------
+
+    def _auto_method(self) -> str:
+        g = self.graph
+        if g.num_nodes <= DENSE_MAX_NODES:
+            return "dense"
+        return "ell"
+
+    def _auto_part_size(self) -> int:
+        # partSize = int(avg_degree) (param.py:73), clamped to [2, 64] and
+        # even so the [P, S] rectangle keeps sublane-friendly strides.
+        ps = int(self.graph.avg_degree)
+        ps = max(2, min(ps, 64))
+        return _round_up(ps, 2)
+
+    def _auto_feature_tile(self, dim: int) -> int:
+        # dimWorker analog: lanes covering the feature dim, capped at the
+        # 128-lane width (param.py:96-106 capped at 32 threads).
+        return min(_round_up(max(dim, 1), SUBLANE), LANE_WIDTH)
+
+    def _auto_block_parts(self, part_size: int, dim: int) -> int:
+        # warpPerBlock analog: how many part rows one kernel block stages in
+        # VMEM.  Per part row we hold: ids (S·4B), gathered features
+        # (S·dim·4B), and a partial row (dim·4B) — the same three buffers the
+        # CUDA kernel stages in shared memory (GNNAdvisor_kernel.cu:345-347).
+        bytes_per_part = part_size * 4 + part_size * dim * 4 + dim * 4
+        n = self.vmem_budget // max(bytes_per_part, 1)
+        n = max(SUBLANE, min(n, MAX_BLOCK_PARTS))
+        return _round_up(n, SUBLANE)
+
+    def _should_reorder(self) -> bool:
+        # Same heuristic as param.py:110.
+        g = self.graph
+        return math.sqrt(g.avg_edgeSpan) > math.sqrt(g.num_nodes) / 100.0
+
+    # -- public API ---------------------------------------------------------
+
+    def decider(self) -> "InputProperty":
+        """Fill per-layer configs; manual mode passes user params through
+        (param.py:58-70), auto mode derives them from graph stats."""
+        if self.manual_mode:
+            method = self.method or "ell"
+            ps = self.part_size or 32
+            if self.enable_reorder:
+                self.reorder_status = True
+            self.layer_input = LayerConfig(
+                method=method,
+                part_size=ps,
+                feature_tile=self.feature_tile or self._auto_feature_tile(self.input_dim),
+                block_parts=self.block_parts or self._auto_block_parts(ps, self.input_dim),
+                feature_dim=self.input_dim,
+            )
+            self.layer_hidden = LayerConfig(
+                method=method,
+                part_size=ps,
+                feature_tile=self.feature_tile or self._auto_feature_tile(self.hidden_dim),
+                block_parts=self.block_parts or self._auto_block_parts(ps, self.hidden_dim),
+                feature_dim=self.hidden_dim,
+            )
+        else:
+            method = self.method or self._auto_method()
+            ps = self.part_size or self._auto_part_size()
+            self.part_size = ps
+            self.layer_input = LayerConfig(
+                method=method,
+                part_size=ps,
+                feature_tile=self._auto_feature_tile(self.input_dim),
+                block_parts=self._auto_block_parts(ps, self.input_dim),
+                feature_dim=self.input_dim,
+            )
+            self.layer_hidden = LayerConfig(
+                method=method,
+                part_size=ps,
+                feature_tile=self._auto_feature_tile(self.hidden_dim),
+                block_parts=self._auto_block_parts(ps, self.hidden_dim),
+                feature_dim=self.hidden_dim,
+            )
+            if self.enable_reorder:
+                self.reorder_status = self._should_reorder()
+
+        if self.reorder_status:
+            from gnnadvisor_osdi21_tpu.graphs import reorder as reorder_mod
+
+            self.graph = reorder_mod.rabbit_reorder_graph(self.graph)
+
+        if self.verbose:
+            mode = "MANUAL" if self.manual_mode else "AUTO"
+            print(f"# {mode} input  layer: {self.layer_input}")
+            print(f"# {mode} hidden layer: {self.layer_hidden}")
+            print(f"# reorder: {self.reorder_status}")
+        return self
+
+    def build_tensors(self, device=None) -> tuple[GraphTensors, GraphTensors]:
+        """Materialize device arrays for both layers (shares the neighbor
+        groups when the part sizes match, which is the common case)."""
+        assert self.layer_input is not None, "call decider() first"
+        li, lh = self.layer_input, self.layer_hidden
+        groups = None
+        if li.method in ("ell", "pallas"):
+            groups = build_neighbor_groups(
+                self.graph.row_pointers, self.graph.column_index, li.part_size
+            )
+        gt_in = build_graph_tensors(
+            self.graph, method=li.method, groups=groups, device=device
+        )
+        if lh.method == li.method and lh.part_size == li.part_size:
+            gt_hid = gt_in
+        else:
+            gt_hid = build_graph_tensors(
+                self.graph,
+                method=lh.method,
+                part_size=lh.part_size,
+                device=device,
+            )
+        return gt_in, gt_hid

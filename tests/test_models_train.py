@@ -1,0 +1,57 @@
+"""End-to-end model/training tests (reference GNNA_main.py protocol)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
+from gnnadvisor_osdi21_tpu.train import train_and_time
+from gnnadvisor_osdi21_tpu.tuner.decider import InputProperty
+
+
+@pytest.mark.parametrize("model,hidden", [("gcn", 16), ("gin", 64)])
+def test_training_decreases_loss(small_graph, model, hidden):
+    g = small_graph
+    gt = build_graph_tensors(g, method="ell", part_size=4)
+    x = jax.numpy.asarray(g.init_embedding(16, seed=0))
+    y = jax.numpy.asarray(g.init_labels(g.num_classes))
+    res = train_and_time(
+        model, (gt, gt), x, y, hidden=hidden, num_classes=g.num_classes,
+        num_epochs=30, dry_run=5,
+    )
+    assert np.isfinite(res["final_loss"])
+    # All-ones labels: the model should fit them nearly perfectly.
+    assert res["final_loss"] < 0.5
+
+
+def test_decider_pipeline_end_to_end(skewed_graph):
+    """Auto decider → tensors → 2-layer GCN forward, no manual params."""
+    prop = InputProperty(skewed_graph, hidden_dim=16).decider()
+    assert prop.layer_input is not None
+    gts = prop.build_tensors()
+    x = jax.numpy.asarray(prop.graph.init_embedding(prop.graph.num_features))
+    y = jax.numpy.asarray(prop.graph.init_labels(prop.graph.num_classes))
+    res = train_and_time(
+        "gcn", gts, x, y, hidden=16, num_classes=prop.graph.num_classes,
+        num_epochs=5, dry_run=2,
+    )
+    assert np.isfinite(res["final_loss"])
+
+
+def test_dense_and_ell_models_agree(small_graph):
+    """Same params, same graph ⇒ dense-MXU and ELL paths give the same
+    log-probs (per-layer activation parity, SURVEY.md §4)."""
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.models import gcn_apply, init_gcn
+
+    g = small_graph
+    params = init_gcn(jax.random.PRNGKey(0), 16, 16, g.num_classes)
+    x = jnp.asarray(g.init_embedding(16, seed=1))
+    gt_ell = build_graph_tensors(g, method="ell", part_size=4)
+    gt_dense = build_graph_tensors(g, method="dense")
+    out_ell = gcn_apply(params, x, (gt_ell, gt_ell))
+    out_dense = gcn_apply(params, x, (gt_dense, gt_dense))
+    np.testing.assert_allclose(
+        np.asarray(out_ell), np.asarray(out_dense), rtol=1e-3, atol=1e-4
+    )
