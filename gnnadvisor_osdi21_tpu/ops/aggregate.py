@@ -95,7 +95,11 @@ def _coo_aggregate(x: jax.Array, gt: GraphTensors, norm: bool) -> jax.Array:
     )
 
 
-def _dispatch_aggregate(x: jax.Array, gt: GraphTensors, norm: bool) -> jax.Array:
+def _dispatch_aggregate(x: jax.Array, gt, norm: bool) -> jax.Array:
+    if gt.method == "hybrid":
+        from gnnadvisor_osdi21_tpu.ops.hybrid_agg import hybrid_aggregate
+
+        return hybrid_aggregate(x, gt, norm)
     if gt.method == "ell":
         return _ell_aggregate(x, gt, norm)
     if gt.method == "dense":

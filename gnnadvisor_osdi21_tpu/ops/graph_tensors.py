@@ -114,6 +114,12 @@ def build_graph_tensors(
             graph.row_pointers, graph.column_index, dtype=np.float32
         )
         kwargs.update(dense_adj=put(jnp.asarray(adj, dtype=adj_dtype)))
+    elif method == "hybrid":
+        raise ValueError(
+            "method='hybrid' has its own builder: graphs.hybrid.build_hybrid"
+            " + ops.hybrid_agg.build_hybrid_tensors (it relabels nodes, so"
+            " features/labels must be moved to the padded row space)"
+        )
     else:
         raise ValueError(f"unknown aggregation method: {method}")
     return GraphTensors(**kwargs)

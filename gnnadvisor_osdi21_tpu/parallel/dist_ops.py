@@ -1,0 +1,209 @@
+"""Distributed aggregation + training over a 1-D device mesh.
+
+Edge-partitioned multi-chip GNN execution (new capability; SURVEY.md §2.3):
+destination rows are sharded in contiguous blocks over the ``"graph"`` mesh
+axis; every layer's aggregation fetches remote source features with one
+``jax.lax.all_to_all`` (riding ICI) using the static halo plan from
+``parallel/partition.py``, then runs the same padded neighbor-group
+reduction as the single-chip ELL path, entirely inside ``shard_map``.
+
+Key algebraic trick: the GCN weighting ``deg[s]·deg[d]`` factors into a
+pre-scale of the *sent* features by the sender's local degrees and a
+post-scale by the receiver's — so the halo exchange never has to ship
+degree vectors.
+
+Everything is differentiable through ``shard_map`` (the all_to_all adjoint
+is the reverse all_to_all, which XLA inserts automatically), so one
+``jax.grad`` + optax step trains the full model multi-chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gnnadvisor_osdi21_tpu.parallel.mesh import GRAPH_AXIS
+from gnnadvisor_osdi21_tpu.parallel.partition import ShardedGraph
+from gnnadvisor_osdi21_tpu.train import build_model
+
+
+def _halo_exchange(x_local: jax.Array, send_idx_local: jax.Array) -> jax.Array:
+    """One all_to_all: returns the full gather table [B + ndev·H, D].
+
+    ``send_idx_local`` [ndev, H]: rows this device ships to each peer.
+    After the exchange, row ``block + src·H + k`` of the table is row
+    ``send_idx[src, me, k]`` of device ``src`` — the layout the remapped
+    ``part_cols`` index into.
+    """
+    ndev, halo = send_idx_local.shape
+    send_buf = jnp.take(x_local, send_idx_local.reshape(-1), axis=0).reshape(
+        ndev, halo, -1
+    )
+    recv = jax.lax.all_to_all(
+        send_buf, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+    return jnp.concatenate([x_local, recv.reshape(ndev * halo, -1)], axis=0)
+
+
+def _local_part_reduce(
+    table: jax.Array,
+    part_cols: jax.Array,
+    part_lens: jax.Array,
+    part2local: jax.Array,
+    block: int,
+) -> jax.Array:
+    """Masked neighbor-group sum + sorted segment reduction (ELL stage 1+2)."""
+    num_parts, part_size = part_cols.shape
+    gathered = jnp.take(table, part_cols.reshape(-1), axis=0).reshape(
+        num_parts, part_size, -1
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_parts, part_size), 1)
+    mask = (lane < part_lens[:, None]).astype(table.dtype)
+    part_sums = jnp.einsum(
+        "psd,ps->pd", gathered, mask, preferred_element_type=jnp.float32
+    ).astype(table.dtype)
+    return jax.ops.segment_sum(
+        part_sums, part2local, num_segments=block, indices_are_sorted=True
+    )
+
+
+def dist_aggregate(
+    x_local: jax.Array,
+    g: dict,
+    block: int,
+    norm: bool,
+) -> jax.Array:
+    """out[s] = Σ_d w_sd · x[d] with the halo exchange; runs inside shard_map.
+
+    ``g`` holds this device's slices: part_cols/part_lens/part2local,
+    send_idx, degrees.
+    """
+    if norm:
+        x_local = x_local * g["degrees"][:, None].astype(x_local.dtype)
+    table = _halo_exchange(x_local, g["send_idx"])
+    out = _local_part_reduce(
+        table, g["part_cols"], g["part_lens"], g["part2local"], block
+    )
+    if norm:
+        out = out * g["degrees"][:, None].astype(out.dtype)
+    return out
+
+
+def _model_apply(model: str, params, x, g, block: int, epsilon: float = 0.5):
+    """GCN-2 / GIN-5 forward with distributed aggregation per layer."""
+    if model == "gcn":
+        h = x @ params["conv1"]
+        h = jax.nn.relu(dist_aggregate(h, g, block, norm=True))
+        h = h @ params["conv2"]
+        h = dist_aggregate(h, g, block, norm=True)
+        return jax.nn.log_softmax(h, axis=1)
+    if model == "gin":
+        h = x
+        n_layers = len(params)
+        for i in range(n_layers):
+            h = epsilon * dist_aggregate(h, g, block, norm=False)
+            h = h @ params[f"conv{i + 1}"]
+            if i < n_layers - 1:
+                h = jax.nn.relu(h)
+        return jax.nn.log_softmax(h, axis=1)
+    raise ValueError(f"unknown model: {model}")
+
+
+def _graph_specs():
+    return {
+        "part_cols": P(GRAPH_AXIS, None, None),
+        "part_lens": P(GRAPH_AXIS, None),
+        "part2local": P(GRAPH_AXIS, None),
+        "send_idx": P(GRAPH_AXIS, None, None),
+        "degrees": P(GRAPH_AXIS, None),
+        "node_mask": P(GRAPH_AXIS, None),
+    }
+
+
+def device_graph_arrays(sg: ShardedGraph, mesh: Mesh) -> dict:
+    """Place the sharded-graph arrays on the mesh."""
+    specs = _graph_specs()
+    return {
+        k: jax.device_put(
+            jnp.asarray(getattr(sg, k)), NamedSharding(mesh, specs[k])
+        )
+        for k in specs
+    }
+
+
+def make_dist_loss_fn(mesh: Mesh, sg: ShardedGraph, model: str) -> Callable:
+    """Build loss(params, g_arrays, x, y) with everything inside shard_map.
+
+    ``x``/``y`` are the full padded arrays sharded over rows; the scalar loss
+    is the masked mean NLL over real nodes (replicated output).
+    """
+    block = sg.block
+    total_nodes = float(sg.num_nodes)
+    specs = _graph_specs()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), specs, P(GRAPH_AXIS, None), P(GRAPH_AXIS)),
+        out_specs=P(),
+    )
+    def loss_fn(params, g, x_blk, y_blk):
+        # Graph arrays are stacked [ndev, ...]; the local shard has a
+        # leading axis of size 1 — drop it.
+        g = {k: v[0] for k, v in g.items()}
+        log_probs = _model_apply(model, params, x_blk, g, block)
+        nll = -jnp.take_along_axis(
+            log_probs, y_blk[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        local = jnp.sum(nll * g["node_mask"])
+        return jax.lax.psum(local, GRAPH_AXIS) / total_nodes
+
+    return loss_fn
+
+
+def make_dist_train_step(
+    mesh: Mesh, sg: ShardedGraph, model: str, lr: float = 0.01
+):
+    """Jitted multi-chip train step + init helper.
+
+    Returns ``(step, init)`` where ``init(key, in_dim, hidden, classes, x, y)``
+    places everything and ``step(params, opt_state, g, x, y)`` is one
+    fwd+bwd+Adam update.
+    """
+    loss_fn = make_dist_loss_fn(mesh, sg, model)
+    optimizer = optax.adam(lr)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, g, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, g, x, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(key, in_dim: int, hidden: int, num_classes: int, x=None, y=None):
+        params, _ = build_model(model, key, in_dim, hidden, num_classes)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = optimizer.init(params)
+        g = device_graph_arrays(sg, mesh)
+        out = [params, opt_state, g]
+        row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
+        if x is not None:
+            xp = np.zeros((sg.num_devices * sg.block, x.shape[1]), dtype=np.float32)
+            xp[: x.shape[0]] = np.asarray(x)
+            out.append(jax.device_put(jnp.asarray(xp), row_sharding))
+        if y is not None:
+            yp = np.zeros(sg.num_devices * sg.block, dtype=np.int32)
+            yp[: y.shape[0]] = np.asarray(y)
+            out.append(
+                jax.device_put(jnp.asarray(yp), NamedSharding(mesh, P(GRAPH_AXIS)))
+            )
+        return tuple(out)
+
+    return step, init

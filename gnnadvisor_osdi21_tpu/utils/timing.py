@@ -1,0 +1,82 @@
+"""Device timing that survives high-latency / async dispatch environments.
+
+The reference brackets kernels with ``cuda.synchronize`` (GNNA_main.py:195).
+On a tunneled TPU, host↔device roundtrips cost tens of ms and
+``block_until_ready`` on an enqueued computation is not a reliable fence —
+so per-call host loops mis-measure badly.  Instead we:
+
+1. chain ``iters`` executions of the op inside ONE jitted
+   ``lax.fori_loop``, feeding a scalar derived from each output back into
+   the next input (a true data dependency: no CSE, no dead-code
+   elimination, no overlap tricks),
+2. read back a single scalar at the end (forces completion),
+3. time multiple repetitions and subtract the calibrated dispatch
+   overhead.
+
+Used by bench.py and the studies; also a user-facing profiling utility
+(the ``profile_spmm`` analog, unitest.py:65-80).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def chained_device_time(
+    op: Callable,
+    x: jax.Array,
+    aux=None,
+    iters: int = 50,
+    reps: int = 3,
+    warmup: int = 1,
+) -> float:
+    """Mean seconds per op execution.
+
+    ``op(x, aux)`` maps an array (+ an aux pytree of graph tensors) to an
+    array; its output is folded to a scalar and mixed back into the next
+    iteration's input, so all ``iters`` executions are serially dependent.
+    ``aux`` is passed as a jit *argument* — never close over multi-MB device
+    arrays (they get baked into the HLO as constants, exploding compile
+    time).
+    """
+
+    @jax.jit
+    def run(x0, seed, aux_):
+        def body(i, carry):
+            x_in, acc = carry
+            out = op(x_in, aux_) if aux_ is not None else op(x_in)
+            s = jnp.sum(out) * 1e-30
+            return x_in + s, acc + s
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (x0 + seed, jnp.float32(0)))
+        return acc
+
+    for _ in range(warmup):
+        float(run(x, jnp.float32(0), aux))
+
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        float(run(x, jnp.float32(r + 1), aux))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def roundtrip_overhead(reps: int = 5) -> float:
+    """Calibrate the host→device→host latency of a trivial computation."""
+
+    @jax.jit
+    def tiny(s):
+        return s + 1.0
+
+    float(tiny(jnp.float32(0)))
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(r)))
+        best = min(best, time.perf_counter() - t0)
+    return best
