@@ -100,6 +100,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _estimate_slots(unit_metric: np.ndarray, align: int) -> int:
+    """Padded slot count if units are bucket-sorted by ``unit_metric``
+    (rectangle rows x widths, before exact-census correction)."""
+    key = _bucket_parts(np.maximum(unit_metric, 1))
+    ks, counts = np.unique(key, return_counts=True)
+    padded = (-(-counts // align)) * align
+    return int((padded * ks).sum())
+
+
 def choose_hot_k(
     column_index: np.ndarray,
     num_nodes: int,
@@ -135,7 +144,7 @@ def build_hybrid(
     feature_dim: int | None = None,
     pad_packs_to: int = 8,
     row_align: int = 512,
-    cold_mode: str = "node",
+    cold_mode: str = "auto",
 ) -> HybridGraph:
     """Build the hybrid layout.  ``pack_c`` defaults to ``128 // D`` capped
     to [1, 32] (one pack row ≈ one 128-lane vector row); the cold mask
@@ -188,8 +197,28 @@ def build_hybrid(
         u_node0 = (uniq0 // n_pack0).astype(np.int64)
         unit_metric = np.bincount(u_node0, minlength=n)
         n_units, unit = n, 1  # sort unit = one node
-    else:
+    elif cold_mode != "auto":
         raise ValueError(f"unknown cold_mode: {cold_mode}")
+
+    if cold_mode == "auto":
+        # Input-adaptive mode selection from the measured cost model:
+        # node-mode slots cost ~4.5ns (single native mask op), pack-mode
+        # slots ~11ns (cxc einsum) but dedup across both endpoints.
+        sp0 = cold_src // c
+        uniq_p = np.unique(sp0 * np.int64(n_pack0) + dp0)
+        m_pack = np.bincount(
+            (uniq_p // n_pack0).astype(np.int64), minlength=n_pack0
+        )
+        uniq_n = np.unique(cold_src * np.int64(n_pack0) + dp0)
+        m_node = np.bincount(
+            (uniq_n // n_pack0).astype(np.int64), minlength=n
+        )
+        cost_pack = _estimate_slots(m_pack, pad_packs_to) * 11.0
+        cost_node = _estimate_slots(m_node, pad_packs_to * c) * 4.5
+        if cost_pack < cost_node:
+            cold_mode, unit_metric, n_units, unit = "pack", m_pack, n_pack0, c
+        else:
+            cold_mode, unit_metric, n_units, unit = "node", m_node, n, 1
 
     # --- permutation: bucket-sort units by block count -------------------
     # Units move whole (in pack mode a pack's rows travel together, so any

@@ -256,6 +256,31 @@ def synthesize_graph(
             order[comm_start[c] + d_off],
             rng.integers(0, num_nodes, size=num_edges),
         )
+    elif kind == "web":
+        # Realistic web/co-purchase topology: communities with *internal*
+        # preferential attachment (local hubs) + a global zipf backbone —
+        # the degree-skew-plus-locality structure of SNAP graphs the
+        # reference evaluates on (0_bench_GNNA_GCN.py:23-41).
+        n_comm = max(int(np.sqrt(num_nodes) / 2), 2)
+        comm_of = rng.integers(0, n_comm, size=num_nodes)
+        order = np.argsort(comm_of, kind="stable")
+        comm_start = np.searchsorted(comm_of[order], np.arange(n_comm))
+        comm_size = np.bincount(comm_of, minlength=n_comm).astype(np.int64)
+        e_local = int(num_edges * 0.85)
+        c = rng.integers(0, n_comm, size=e_local)
+        size_c = np.maximum(comm_size[c], 1)
+        s_off = rng.integers(0, size_c)
+        # local hub: zipf-distributed rank within the community
+        d_rank = np.minimum(rng.zipf(1.4, size=e_local) - 1, size_c - 1)
+        src_l = order[comm_start[c] + s_off]
+        dst_l = order[comm_start[c] + d_rank]
+        e_glob = num_edges - e_local
+        gsrc = rng.integers(0, num_nodes, size=e_glob, dtype=np.int64)
+        grank = np.minimum(rng.zipf(1.5, size=e_glob) - 1, num_nodes - 1)
+        shuffle = rng.permutation(num_nodes)
+        gdst = shuffle[grank]
+        src = np.concatenate([src_l, gsrc])
+        dst = np.concatenate([dst_l, gdst])
     else:
         raise ValueError(f"unknown graph kind: {kind}")
     return _from_edges(

@@ -36,6 +36,7 @@ class HybridTensors:
     hot_k: int = 0
     bucket_packs: Tuple[int, ...] = ()
     cold_mode: str = "node"
+    agg_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
 
     @property
     def method(self) -> str:
@@ -53,12 +54,15 @@ jax.tree_util.register_dataclass(
         "block_mask",
     ],
     meta_fields=[
-        "num_rows", "real_nodes", "pack_c", "hot_k", "bucket_packs", "cold_mode"
+        "num_rows", "real_nodes", "pack_c", "hot_k", "bucket_packs",
+        "cold_mode", "agg_dtype",
     ],
 )
 
 
-def build_hybrid_tensors(hg: HybridGraph, device=None) -> HybridTensors:
+def build_hybrid_tensors(
+    hg: HybridGraph, device=None, agg_dtype: str = "float32"
+) -> HybridTensors:
     put = lambda a: jax.device_put(jnp.asarray(a), device)
     return HybridTensors(
         degrees=put(hg.degrees),
@@ -73,6 +77,7 @@ def build_hybrid_tensors(hg: HybridGraph, device=None) -> HybridTensors:
         hot_k=hg.hot_k,
         bucket_packs=tuple(b.num_packs for b in hg.buckets),
         cold_mode=hg.cold_mode,
+        agg_dtype=agg_dtype,
     )
 
 
@@ -121,7 +126,7 @@ def _cold_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
             w = bd.shape[2]
             rows = jnp.take(xp, bd.reshape(-1), axis=0).reshape(npk, c, w, c * d)
             m = ((bm[:, :, :, None] >> group) & 1).astype(x.dtype)
-            s = (rows * m).sum(axis=2)  # [np, c, c*d]
+            s = (rows * m).sum(axis=2, dtype=jnp.float32)  # [np, c, c*d]
             out = s.reshape(npk, c, c, d).sum(axis=2)
             outs.append(out.reshape(npk * c, d))
     return jnp.concatenate(outs, axis=0)
@@ -134,11 +139,15 @@ def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:
     output rows — both dense — so neither path touches per-edge weights
     (the degree product factors: deg[s]·deg[d]·x[d] = deg[s]·(deg·x)[d]).
     """
+    out_dtype = x.dtype
     if norm:
         x = x * ht.degrees[:, None].astype(x.dtype)
+    # Optionally run the memory-bound gather paths at bf16 (accumulation
+    # stays f32): halves HBM bytes on the dominant cost.
+    x = x.astype(ht.agg_dtype)
     out = _cold_aggregate(x, ht)
     if ht.hot_k:
         out = out + _hot_aggregate(x, ht).astype(out.dtype)
     if norm:
         out = out * ht.degrees[:, None].astype(out.dtype)
-    return out
+    return out.astype(out_dtype)

@@ -26,20 +26,31 @@ from gnnadvisor_osdi21_tpu.models import gcn_apply, gin_apply, init_gcn, init_gi
 from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors
 
 
-def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean negative log-likelihood, matching F.nll_loss(reduction='mean')."""
-    return -jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=1).mean()
+def nll_loss(
+    log_probs: jax.Array, labels: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """Mean negative log-likelihood, matching F.nll_loss(reduction='mean').
+
+    ``mask`` (0/1 per row) excludes padding rows introduced by the hybrid
+    layout; the mean is over real rows only."""
+    nll = -jnp.take_along_axis(
+        log_probs, labels[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    if mask is None:
+        return nll.mean()
+    return jnp.sum(nll * mask) / jnp.sum(mask)
 
 
 def make_train_step(
     apply_fn: Callable,
     gts: Sequence[GraphTensors],
     optimizer: optax.GradientTransformation,
+    mask: jax.Array | None = None,
 ):
     """Build a jitted (params, opt_state, x, y) -> (params, opt_state, loss)."""
 
     def loss_fn(params, x, y):
-        return nll_loss(apply_fn(params, x, gts), y)
+        return nll_loss(apply_fn(params, x, gts), y, mask)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
@@ -77,6 +88,7 @@ def train_and_time(
     dry_run: int = 10,
     lr: float = 0.01,
     seed: int = 0,
+    mask: jax.Array | None = None,
 ) -> dict:
     """Run the reference timing protocol; returns timings + final loss."""
     params, apply_fn = build_model(
@@ -84,7 +96,7 @@ def train_and_time(
     )
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step = make_train_step(apply_fn, gts, optimizer)
+    step = make_train_step(apply_fn, gts, optimizer, mask=mask)
 
     loss = jnp.zeros(())
     compile_start = time.perf_counter()

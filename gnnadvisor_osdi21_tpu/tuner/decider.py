@@ -98,6 +98,21 @@ class InputProperty:
         self.reorder_status = False
         self.layer_input: Optional[LayerConfig] = None
         self.layer_hidden: Optional[LayerConfig] = None
+        self.hybrid_graph = None  # set by build_tensors for method="hybrid"
+
+    def pad_features(self, a):
+        """Node-indexed array → the kernel row space (identity unless the
+        hybrid layout relabeled/padded rows)."""
+        import numpy as np
+
+        return self.hybrid_graph.pad_array(np.asarray(a)) if self.hybrid_graph else a
+
+    def unpad_outputs(self, a):
+        import numpy as np
+
+        return (
+            self.hybrid_graph.unpad_array(np.asarray(a)) if self.hybrid_graph else a
+        )
 
     # -- decision helpers ---------------------------------------------------
 
@@ -105,7 +120,7 @@ class InputProperty:
         g = self.graph
         if g.num_nodes <= DENSE_MAX_NODES:
             return "dense"
-        return "ell"
+        return "hybrid"
 
     def _auto_part_size(self) -> int:
         # partSize = int(avg_degree) (param.py:73), clamped to [2, 64] and
@@ -191,11 +206,25 @@ class InputProperty:
             print(f"# reorder: {self.reorder_status}")
         return self
 
-    def build_tensors(self, device=None) -> tuple[GraphTensors, GraphTensors]:
+    def build_tensors(self, device=None):
         """Materialize device arrays for both layers (shares the neighbor
-        groups when the part sizes match, which is the common case)."""
+        groups when the part sizes match, which is the common case).
+
+        For the hybrid method this also builds the padded-row layout; use
+        ``pad_features`` / ``unpad_outputs`` to move node data in and out.
+        """
         assert self.layer_input is not None, "call decider() first"
         li, lh = self.layer_input, self.layer_hidden
+        if li.method == "hybrid":
+            from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid
+            from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
+
+            # pack width follows the smallest aggregated dim (GCN aggregates
+            # at hidden/classes width; GEMM-then-aggregate, §3.1).
+            agg_dim = min(self.hidden_dim, max(self.graph.num_classes, 1))
+            self.hybrid_graph = build_hybrid(self.graph, feature_dim=agg_dim)
+            gt = build_hybrid_tensors(self.hybrid_graph, device=device)
+            return gt, gt
         groups = None
         if li.method in ("ell", "pallas"):
             groups = build_neighbor_groups(

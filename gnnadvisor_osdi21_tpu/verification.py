@@ -1,0 +1,77 @@
+"""Kernel verification + single-SpMM profiling (the ``unitest.py`` analog).
+
+Mirrors the reference harness: features are all-ones (unitest.py:27), the
+device kernel result is compared against a CPU sparse-matmul oracle
+(``torch_sparse.spmm`` there, our COO segment-sum here, unitest.py:33-40),
+and the pass criterion is an element mismatch fraction below 1e-4
+(unitest.py:54-63).  ``profile_spmm`` reproduces the 10-warmup + N-round
+kernel timer (unitest.py:65-80) using the chained-dependency harness that
+is reliable over the tunneled device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Verification:
+    def __init__(self, dim: int, prop, gt):
+        self.dim = dim
+        self.prop = prop
+        self.gt = gt
+        self.graph = prop.graph
+        self.result = None
+        self.result_ref = None
+
+    def compute(self):
+        """Run the device SAG kernel on all-ones features."""
+        import jax
+        import jax.numpy as jnp
+
+        from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+
+        n_rows = getattr(self.gt, "num_rows", self.graph.num_nodes)
+        x = jnp.ones((n_rows, self.dim), dtype=jnp.float32)
+        out = jax.jit(lambda a, g: sag(a, g))(x, self.gt)
+        out = np.asarray(out)
+        self.result = self.prop.unpad_outputs(out)
+        return self.result
+
+    def reference(self):
+        """CPU oracle: unweighted COO segment-sum (unitest.py:33-40)."""
+        import jax.numpy as jnp
+
+        from gnnadvisor_osdi21_tpu.ops import reference as ref
+
+        g = self.graph
+        src = ref.csr_to_coo(g.row_pointers, g.column_index)
+        x = jnp.ones((g.num_nodes, self.dim), dtype=jnp.float32)
+        self.result_ref = np.asarray(
+            ref.sag(x, jnp.asarray(src), jnp.asarray(g.column_index), g.num_nodes)
+        )
+        return self.result_ref
+
+    def compare(self, tolerance: float = 1e-4) -> bool:
+        """Pass iff the mismatch fraction is below ``tolerance``
+        (unitest.py:54-63; mismatch = not close at bf16-level rtol)."""
+        close = np.isclose(self.result, self.result_ref, rtol=1e-2, atol=1e-3)
+        frac = 1.0 - close.mean()
+        if frac < tolerance:
+            print(f"# Verification PASSED (mismatch fraction {frac:.2e})")
+            return True
+        print(f"# Verification FAILED (mismatch fraction {frac:.2e})")
+        return False
+
+    def profile_spmm(self, rounds: int = 200) -> float:
+        """Average SpMM kernel ms over ``rounds`` (unitest.py:65-80)."""
+        import jax.numpy as jnp
+
+        from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+        from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
+
+        n_rows = getattr(self.gt, "num_rows", self.graph.num_nodes)
+        x = jnp.ones((n_rows, self.dim), dtype=jnp.float32)
+        sec = chained_device_time(
+            lambda a, g: sag(a, g), x, self.gt, iters=min(rounds, 50)
+        )
+        return sec * 1e3
