@@ -27,20 +27,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _hot_kernel(bits_ref, xh_ref, out_ref):
+def _hot_kernel(bits_ref, shift_ref, xh_ref, out_ref):
     """One grid step: rows tile of the bit slab x the whole hot table."""
     bits = bits_ref[:]  # [TR, W32] uint32
-    tr, w32 = bits.shape
-    k = w32 * 32
     # Bit-major column layout: A column j lives in word j % W32 at bit
     # j // W32 — chosen because pltpu.repeat TILES its input, so one
-    # repeat + one shift unpacks the whole slab tile.
+    # repeat + one shift unpacks the whole slab tile.  The shift row
+    # (j // W32) is a precomputed input: no per-element iota/division.
     words = pltpu.repeat(bits, 32, axis=1)  # [TR, K], words[:, j] = bits[:, j % w32]
-    shift = jax.lax.broadcasted_iota(jnp.uint32, (tr, k), 1) // w32
-    # Mosaic has no direct uint32->bf16 cast; hop through int32/f32.
-    a = ((words >> shift) & 1).astype(jnp.int32).astype(jnp.float32).astype(
+    bit = (words >> shift_ref[:]) & 1
+    # 0/1 uint32 -> f32 without int casts: 1.0f is 0x3F800000, so a single
+    # integer multiply + bitcast materializes the float matrix.
+    a = pltpu.bitcast(bit * jnp.uint32(0x3F800000), jnp.float32).astype(
         jnp.bfloat16
-    )  # 0/1 matrix
+    )
     out_ref[:] = jnp.dot(
         a, xh_ref[:], preferred_element_type=jnp.float32
     )
@@ -59,6 +59,7 @@ def hot_slab_matmul(
     assert k == w32 * 32, f"bit slab K={w32 * 32} != x_hot rows {k}"
     assert r % block_rows == 0, f"rows {r} not a multiple of {block_rows}"
     grid = (r // block_rows,)
+    shift_row = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[None, :]
     return pl.pallas_call(
         _hot_kernel,
         out_shape=jax.ShapeDtypeStruct((r, d), jnp.float32),
@@ -68,6 +69,7 @@ def hot_slab_matmul(
                 pl.BlockSpec(
                     (block_rows, w32), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -80,7 +82,7 @@ def hot_slab_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bits, x_hot.astype(jnp.bfloat16))
+    )(bits, shift_row, x_hot.astype(jnp.bfloat16))
 
 
 def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):

@@ -43,9 +43,9 @@ def _halo_exchange(x_local: jax.Array, send_idx_local: jax.Array) -> jax.Array:
     ``part_cols`` index into.
     """
     ndev, halo = send_idx_local.shape
-    send_buf = jnp.take(x_local, send_idx_local.reshape(-1), axis=0).reshape(
-        ndev, halo, -1
-    )
+    send_buf = jnp.take(
+        x_local, send_idx_local.reshape(-1), axis=0, mode="clip"
+    ).reshape(ndev, halo, -1)
     recv = jax.lax.all_to_all(
         send_buf, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True
     )
@@ -61,9 +61,9 @@ def _local_part_reduce(
 ) -> jax.Array:
     """Masked neighbor-group sum + sorted segment reduction (ELL stage 1+2)."""
     num_parts, part_size = part_cols.shape
-    gathered = jnp.take(table, part_cols.reshape(-1), axis=0).reshape(
-        num_parts, part_size, -1
-    )
+    gathered = jnp.take(
+        table, part_cols.reshape(-1), axis=0, mode="clip"
+    ).reshape(num_parts, part_size, -1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (num_parts, part_size), 1)
     mask = (lane < part_lens[:, None]).astype(table.dtype)
     part_sums = jnp.einsum(
@@ -82,14 +82,21 @@ def dist_aggregate(
 ) -> jax.Array:
     """out[s] = Σ_d w_sd · x[d] with the halo exchange; runs inside shard_map.
 
-    ``g`` holds this device's slices: part_cols/part_lens/part2local,
-    send_idx, degrees.
+    Communication overlap: interior parts (all-local neighbors, split out at
+    build time) reduce against ``x_local`` with no data dependency on the
+    all_to_all — XLA schedules that reduction concurrently with the
+    exchange; boundary parts reduce against the full gather table once the
+    halo lands.  Owners are sorted within each class, so both partials use
+    the fast sorted segment-sum and add exactly.
     """
     if norm:
         x_local = x_local * g["degrees"][:, None].astype(x_local.dtype)
-    table = _halo_exchange(x_local, g["send_idx"])
     out = _local_part_reduce(
-        table, g["part_cols"], g["part_lens"], g["part2local"], block
+        x_local, g["int_cols"], g["int_lens"], g["int2local"], block
+    )
+    table = _halo_exchange(x_local, g["send_idx"])
+    out = out + _local_part_reduce(
+        table, g["bnd_cols"], g["bnd_lens"], g["bnd2local"], block
     )
     if norm:
         out = out * g["degrees"][:, None].astype(out.dtype)
@@ -118,9 +125,12 @@ def _model_apply(model: str, params, x, g, block: int, epsilon: float = 0.5):
 
 def _graph_specs():
     return {
-        "part_cols": P(GRAPH_AXIS, None, None),
-        "part_lens": P(GRAPH_AXIS, None),
-        "part2local": P(GRAPH_AXIS, None),
+        "int_cols": P(GRAPH_AXIS, None, None),
+        "int_lens": P(GRAPH_AXIS, None),
+        "int2local": P(GRAPH_AXIS, None),
+        "bnd_cols": P(GRAPH_AXIS, None, None),
+        "bnd_lens": P(GRAPH_AXIS, None),
+        "bnd2local": P(GRAPH_AXIS, None),
         "send_idx": P(GRAPH_AXIS, None, None),
         "degrees": P(GRAPH_AXIS, None),
         "node_mask": P(GRAPH_AXIS, None),

@@ -39,10 +39,19 @@ class ShardedGraph:
     num_nodes: int  # original (unpadded) node count
     halo: int  # Hmax: padded rows exchanged per (src, dst) device pair
     part_size: int
-    # all arrays have a leading [ndev] axis:
-    part_cols: np.ndarray  # [ndev, Pmax, S] int32 — indices into local table
-    part_lens: np.ndarray  # [ndev, Pmax] int32
-    part2local: np.ndarray  # [ndev, Pmax] int32 — owner row within the block
+    # All arrays have a leading [ndev] axis.  Parts are split at build time
+    # into INTERIOR (every neighbor locally owned — reducible against
+    # x_local while the halo all_to_all is in flight; the communication-
+    # overlap design point of SURVEY.md §2.3) and BOUNDARY (needs the
+    # exchanged table).  Owners stay sorted within each class, so both
+    # reductions use the fast sorted segment-sum and their partials add
+    # exactly.
+    int_cols: np.ndarray  # [ndev, PImax, S] int32 — local row ids (< B)
+    int_lens: np.ndarray  # [ndev, PImax] int32
+    int2local: np.ndarray  # [ndev, PImax] int32
+    bnd_cols: np.ndarray  # [ndev, PBmax, S] int32 — gather-table ids
+    bnd_lens: np.ndarray  # [ndev, PBmax] int32
+    bnd2local: np.ndarray  # [ndev, PBmax] int32
     send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 — rows to ship
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees of owned rows
     node_mask: np.ndarray  # [ndev, B] f32 — 1 for real nodes, 0 for padding
@@ -115,14 +124,14 @@ def shard_graph(
 
     # Remap part_cols to the receiver's gather table [x_local ; recv].
     # recv layout after all_to_all: recv[src, k] = x_src[send_idx[src, d, k]],
-    # flattened to rows block + src*h_max + k.
-    part_cols_out = np.zeros((num_devices, p_max, part_size), dtype=np.int32)
-    part_lens_out = np.zeros((num_devices, p_max), dtype=np.int32)
-    part2local = np.zeros((num_devices, p_max), dtype=np.int32)
+    # flattened to rows block + src*h_max + k.  Parts split interior/boundary.
+    per_dev = []  # (int_(cols,lens,p2l), bnd_(cols,lens,p2l))
+    pi_max = pb_max = 1
     for d in range(num_devices):
         s, e = dev_part_start[d], dev_part_end[d]
-        cnt = e - s
         dcols = cols[s:e].astype(np.int64)
+        dlens = lens[s:e]
+        downers = (owners[s:e] - d * block).astype(np.int32)
         remapped = np.empty_like(dcols, dtype=np.int64)
         local = col_dev[s:e] == d
         remapped[local] = dcols[local] - d * block
@@ -134,13 +143,39 @@ def shard_graph(
                 continue
             pos = np.searchsorted(need[d][src], dcols[sel])
             remapped[sel] = block + src * h_max + pos
-        part_cols_out[d, :cnt] = remapped.astype(np.int32)
-        part_lens_out[d, :cnt] = lens[s:e]
-        part2local[d, :cnt] = (owners[s:e] - d * block).astype(np.int32)
-        # Padding parts keep owner = last real owner's local row (sorted,
-        # zero-length ⇒ zero contribution), or 0 if the device has no parts.
-        if cnt:
-            part2local[d, cnt:] = part2local[d, cnt - 1]
+        valid_slots = np.arange(part_size)[None, :] < dlens[:, None]
+        # padding slots (beyond each part's length) must stay in local
+        # range: jnp.take's default OOB mode is fill-with-NaN, and NaN*0
+        # is still NaN under the reduce mask.
+        remapped[~valid_slots] = 0
+        interior = ~np.any(valid_slots & (col_dev[s:e] != d), axis=1)
+        per_dev.append(
+            (
+                (remapped[interior], dlens[interior], downers[interior]),
+                (remapped[~interior], dlens[~interior], downers[~interior]),
+            )
+        )
+        pi_max = max(pi_max, int(interior.sum()))
+        pb_max = max(pb_max, int((~interior).sum()))
+    pi_max = _round_up(pi_max, pad_parts_to)
+    pb_max = _round_up(pb_max, pad_parts_to)
+
+    def _stack(cap, idx):
+        c = np.zeros((num_devices, cap, part_size), dtype=np.int32)
+        l = np.zeros((num_devices, cap), dtype=np.int32)
+        o = np.zeros((num_devices, cap), dtype=np.int32)
+        for d in range(num_devices):
+            rc, rl, ro = per_dev[d][idx]
+            k = len(rl)
+            c[d, :k] = rc.astype(np.int32)
+            l[d, :k] = rl
+            o[d, :k] = ro
+            if k:  # keep owners sorted through the padding
+                o[d, k:] = ro[-1]
+        return c, l, o
+
+    int_cols, int_lens, int2local = _stack(pi_max, 0)
+    bnd_cols, bnd_lens, bnd2local = _stack(pb_max, 1)
 
     deg_pad = np.zeros(n_pad, dtype=np.float32)
     deg_pad[:n] = graph.degrees
@@ -154,9 +189,12 @@ def shard_graph(
         num_nodes=n,
         halo=h_max,
         part_size=part_size,
-        part_cols=part_cols_out,
-        part_lens=part_lens_out,
-        part2local=part2local,
+        int_cols=int_cols,
+        int_lens=int_lens,
+        int2local=int2local,
+        bnd_cols=bnd_cols,
+        bnd_lens=bnd_lens,
+        bnd2local=bnd2local,
         send_idx=send_idx,
         degrees=deg_pad.reshape(num_devices, block),
         node_mask=mask.reshape(num_devices, block),

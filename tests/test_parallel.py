@@ -41,11 +41,17 @@ def _padded(x, rows):
 def test_shard_plan_consistency(dist_setup):
     g, sg, _ = dist_setup
     assert sg.num_devices * sg.block >= g.num_nodes
-    assert int(sg.part_lens.sum()) == g.nnz
-    # every remapped col index is inside the gather table
-    assert sg.part_cols.max() < sg.table_rows
-    # owners local and in range
-    assert sg.part2local.max() < sg.block
+    # every edge lands in exactly one (interior or boundary) part
+    assert int(sg.int_lens.sum()) + int(sg.bnd_lens.sum()) == g.nnz
+    # interior cols are strictly local; boundary cols within the table
+    assert sg.int_cols.max() < sg.block
+    assert sg.bnd_cols.max() < sg.table_rows
+    # owners local, in range, and sorted within each class per device
+    assert sg.int2local.max() < sg.block
+    assert sg.bnd2local.max() < sg.block
+    for d in range(sg.num_devices):
+        assert np.all(np.diff(sg.int2local[d].astype(np.int64)) >= 0)
+        assert np.all(np.diff(sg.bnd2local[d].astype(np.int64)) >= 0)
 
 
 @needs_8
