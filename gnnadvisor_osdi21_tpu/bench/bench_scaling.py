@@ -1,0 +1,84 @@
+"""Multi-chip scaling benchmark: aggregated edges/s vs mesh size.
+
+The north-star scaling metric (BASELINE.md): ≥2x edges/s at 2 hosts over a
+single chip on large graphs.  On real multi-chip hardware this measures ICI
+halo exchange; on a single-host dev box it runs the same sharded program on
+virtual CPU devices (functional validation + plan statistics: halo sizes,
+interior fraction — the quantities that determine real scaling).
+
+Usage: python -m gnnadvisor_osdi21_tpu.bench.bench_scaling [--devices 1,2,4,8]
+       [--nodes N] [--edges E]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=str, default="1,2,4,8")
+    p.add_argument("--nodes", type=int, default=100_000)
+    p.add_argument("--edges", type=int, default=1_000_000)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=20)
+    args = p.parse_args(argv)
+    dev_list = [int(d) for d in args.devices.split(",")]
+
+    import os
+
+    if not os.environ.get("GRAFT_REAL_DEVICES"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={max(dev_list)}"
+            ).strip()
+
+    import jax
+
+    if not os.environ.get("GRAFT_REAL_DEVICES"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+    from gnnadvisor_osdi21_tpu.graphs.reorder import rabbit_reorder_graph
+    from gnnadvisor_osdi21_tpu.parallel.dist_ops import make_dist_train_step
+    from gnnadvisor_osdi21_tpu.parallel.mesh import make_mesh
+    from gnnadvisor_osdi21_tpu.parallel.partition import shard_graph
+
+    g = synthesize_graph(args.nodes, args.edges, num_features=args.dim,
+                         num_classes=16, kind="web", seed=0)
+    g = rabbit_reorder_graph(g)  # locality shrinks the halo
+    print("devices,epoch_ms,edges_per_s,halo_rows,interior_frac")
+    for nd in dev_list:
+        sg = shard_graph(g, num_devices=nd)
+        mesh = make_mesh(nd)
+        step, init = make_dist_train_step(mesh, sg, "gcn")
+        params, opt_state, garr, x, y = init(
+            jax.random.PRNGKey(0), args.dim, 16, 16,
+            g.init_embedding(args.dim), g.init_labels(16),
+        )
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state, garr, x, y)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.epochs):
+            params, opt_state, loss = step(params, opt_state, garr, x, y)
+        jax.block_until_ready(loss)
+        ms = (time.perf_counter() - t0) * 1e3 / args.epochs
+        interior = float(sg.int_lens.sum()) / max(
+            float(sg.int_lens.sum() + sg.bnd_lens.sum()), 1.0
+        )
+        print(
+            f"{nd},{ms:.2f},{g.nnz / ms * 1e3:.3g},{sg.halo},{interior:.3f}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
