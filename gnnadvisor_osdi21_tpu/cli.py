@@ -88,6 +88,16 @@ def load_dataset(args):
             load_from_txt=True, verbose=verbose,
         )
     path = osp.join(args.dataDir, args.dataset + ".npz")
+    if not osp.exists(path):
+        # Roster datasets synthesize (and cache) a matching topology when
+        # the real .npz isn't present (no-egress environments).
+        from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, get_dataset
+
+        if args.dataset in DATASETS:
+            return get_dataset(
+                args.dataset, data_dir=args.dataDir,
+                dim=args.dim, classes=args.classes,
+            )
     return load_graph(
         path, num_features=args.dim, num_classes=args.classes, verbose=verbose
     )

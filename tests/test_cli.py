@@ -110,3 +110,26 @@ def test_cli_forced_hybrid_method(capsys):
     ])
     assert rc == 0
     assert "Time (ms):" in capsys.readouterr().out
+
+
+def test_reorder_tool(tmp_path, capsys):
+    from gnnadvisor_osdi21_tpu.tools.reorder import main as reorder_main
+
+    p = tmp_path / "g.txt"
+    lines = []
+    rng = __import__("numpy").random.default_rng(0)
+    for _ in range(200):
+        a, b = rng.integers(0, 40, 2)
+        lines.append(f"{a} {b}")
+    p.write_text("\n".join(lines) + "\n")
+    rc = reorder_main([str(p)])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert sorted(int(v) for v in out) == list(range(40))
+
+    rc = reorder_main(["-c", str(p)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    comm = [int(v) for v in cap.out.strip().splitlines()]
+    assert len(comm) == 40
+    assert "modularity:" in cap.err

@@ -1,0 +1,62 @@
+"""Decider ("Advisor") tests — the param.py:51-120 analog."""
+
+import math
+
+import numpy as np
+
+from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+from gnnadvisor_osdi21_tpu.tuner.decider import InputProperty, DENSE_MAX_NODES
+
+
+def test_auto_small_graph_picks_dense():
+    g = synthesize_graph(500, 4000, seed=0)
+    prop = InputProperty(g, hidden_dim=16).decider()
+    assert prop.layer_input.method == "dense"
+
+
+def test_auto_large_graph_picks_hybrid():
+    g = synthesize_graph(DENSE_MAX_NODES + 1000, 50000, seed=0)
+    prop = InputProperty(g, hidden_dim=16).decider()
+    assert prop.layer_input.method == "hybrid"
+
+
+def test_manual_mode_passes_params_through():
+    g = synthesize_graph(2000, 20000, seed=1)
+    prop = InputProperty(
+        g, hidden_dim=16, part_size=24, method="ell",
+        manual_mode=True,
+    ).decider()
+    assert prop.layer_input.method == "ell"
+    assert prop.layer_input.part_size == 24
+
+
+def test_auto_part_size_tracks_avg_degree():
+    g = synthesize_graph(3000, 90000, seed=2)  # avg degree ~30
+    prop = InputProperty(g, hidden_dim=16, method="ell").decider()
+    assert 16 <= prop.layer_input.part_size <= 40
+
+
+def test_per_layer_feature_tiles_differ():
+    g = synthesize_graph(2000, 20000, num_features=256, seed=3)
+    prop = InputProperty(g, hidden_dim=16, method="ell").decider()
+    # input layer dim 256 -> tile capped at 128; hidden dim 16 -> 16
+    assert prop.layer_input.feature_tile == 128
+    assert prop.layer_hidden.feature_tile == 16
+
+
+def test_reorder_heuristic_matches_reference_formula():
+    g = synthesize_graph(5000, 50000, kind="community", seed=4)
+    prop = InputProperty(g, hidden_dim=16, enable_reorder=True).decider()
+    expected = math.sqrt(g.avg_edgeSpan) > math.sqrt(g.num_nodes) / 100.0
+    assert prop.reorder_status == expected
+    if expected:
+        assert prop.graph.reordered
+
+
+def test_hybrid_build_tensors_and_padding_roundtrip():
+    g = synthesize_graph(6000, 60000, seed=5)
+    prop = InputProperty(g, hidden_dim=16).decider()
+    gts = prop.build_tensors()
+    assert gts[0].method == "hybrid"
+    a = np.arange(prop.graph.num_nodes, dtype=np.float32)
+    np.testing.assert_array_equal(prop.unpad_outputs(prop.pad_features(a)), a)
