@@ -87,11 +87,11 @@ def run(dataset: str, model: str, epochs: int) -> float:
 
     for _ in range(10):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch = reliable fence (see train.py)
     t0 = time.perf_counter()
     for _ in range(epochs):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     return (time.perf_counter() - t0) * 1e3 / epochs
 
 

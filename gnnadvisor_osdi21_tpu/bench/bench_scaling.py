@@ -64,11 +64,11 @@ def main(argv=None) -> int:
         )
         for _ in range(5):
             params, opt_state, loss = step(params, opt_state, garr, x, y)
-        jax.block_until_ready(loss)
+        float(loss)  # host fetch = reliable fence
         t0 = time.perf_counter()
         for _ in range(args.epochs):
             params, opt_state, loss = step(params, opt_state, garr, x, y)
-        jax.block_until_ready(loss)
+        float(loss)
         ms = (time.perf_counter() - t0) * 1e3 / args.epochs
         interior = float(sg.int_lens.sum()) / max(
             float(sg.int_lens.sum() + sg.bnd_lens.sum()), 1.0

@@ -52,14 +52,17 @@ def main(argv=None) -> int:
                 _run(ds, ["--manual_mode", "True", "--method", "ell",
                           "--partSize", str(ps), "--hidden", "16"], quick)
     elif study == "dimtile":
+        # dimension-partitioning study (s7-4_2): on TPU the adaptable
+        # feature-axis parameter is the hybrid pack width (nodes per
+        # 128-lane gather row), not a thread count.
         for dw in DIM_TILES[:3] if quick else DIM_TILES:
             print("******************************")
-            print(f"++ dimWorker: {dw}")
+            print(f"++ packC: {dw}")
             print("******************************")
             for ds in graphs:
-                print(f"{ds}---dimWorker: {dw}")
-                _run(ds, ["--manual_mode", "True", "--method", "ell",
-                          "--dimWorker", str(dw), "--hidden", "16"], quick)
+                print(f"{ds}---packC: {dw}")
+                _run(ds, ["--manual_mode", "False", "--method", "hybrid",
+                          "--packC", str(dw), "--hidden", "16"], quick)
     elif study == "reorder":
         for flag in ("False", "True"):
             print("******************************")

@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="generate a graph: 'N:E:kind' (e.g. 410236:4878874:powerlaw)",
     )
     p.add_argument("--num_devices", type=int, default=1, help="graph-mesh size")
+    p.add_argument("--packC", type=int, default=0,
+                   help="hybrid cold-path pack width (0 = auto from dims)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -123,6 +125,8 @@ def main(argv=None) -> int:
         feature_tile=args.dimWorker if args.manual_mode == "True" else None,
         vmem_budget=args.sharedMem * 1024,
         method=None if args.method == "auto" else args.method,
+        pack_c=args.packC or None,
+        model=args.model,
         enable_reorder=args.enable_rabbit == "True",
         manual_mode=args.manual_mode == "True",
         verbose=verbose,
@@ -146,11 +150,11 @@ def main(argv=None) -> int:
         )
         for _ in range(10):
             params, opt_state, loss = step(params, opt_state, garr, x, y)
-        jax.block_until_ready(loss)
+        float(loss)  # host fetch = reliable fence (see train.py)
         start = time.perf_counter()
         for _ in range(args.num_epoches):
             params, opt_state, loss = step(params, opt_state, garr, x, y)
-        jax.block_until_ready(loss)
+        float(loss)
         ms = (time.perf_counter() - start) * 1e3 / args.num_epoches
         print(f"Time (ms): {ms:.3f}")
         return 0

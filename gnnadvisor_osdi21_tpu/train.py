@@ -98,22 +98,43 @@ def train_and_time(
     opt_state = optimizer.init(params)
     step = make_train_step(apply_fn, gts, optimizer, mask=mask)
 
+    # Fence with a host scalar fetch, not block_until_ready: on tunneled/
+    # async platforms block_until_ready is not a reliable completion fence
+    # (utils/timing.py discussion); float() forces the value.  The one
+    # host roundtrip (~tens of ms) amortizes over the epochs.
     loss = jnp.zeros(())
     compile_start = time.perf_counter()
     for _ in range(dry_run):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     warmup_s = time.perf_counter() - compile_start
 
     start = time.perf_counter()
     for _ in range(num_epochs):
         params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     train_s = time.perf_counter() - start
 
     return {
         "epoch_ms": train_s * 1e3 / num_epochs,
         "warmup_s": warmup_s,
-        "final_loss": float(loss),
+        "final_loss": final_loss,
         "num_epochs": num_epochs,
     }
+
+
+def accuracy(
+    log_probs: jax.Array, labels: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """Classification accuracy over (optionally masked) nodes.
+
+    The reference omits accuracy entirely (labels are synthetic all-ones,
+    README.md:195); provided here because real datasets have real labels and
+    the masks (train 100% / val 30% / test 10%, dataset.py:45-53) exist.
+    """
+    pred = jnp.argmax(log_probs, axis=1)
+    hit = (pred == labels.astype(pred.dtype)).astype(jnp.float32)
+    if mask is None:
+        return hit.mean()
+    m = mask.astype(jnp.float32)
+    return jnp.sum(hit * m) / jnp.maximum(jnp.sum(m), 1.0)

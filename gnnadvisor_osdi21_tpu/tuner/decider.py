@@ -79,6 +79,8 @@ class InputProperty:
         block_parts: Optional[int] = None,
         vmem_budget: int = VMEM_BUDGET_BYTES,
         method: Optional[str] = None,
+        pack_c: Optional[int] = None,
+        model: str = "gcn",
         enable_reorder: bool = False,
         manual_mode: bool = False,
         verbose: bool = False,
@@ -91,6 +93,8 @@ class InputProperty:
         self.block_parts = block_parts
         self.vmem_budget = int(vmem_budget * VMEM_FRACTION)
         self.method = method
+        self.pack_c = pack_c
+        self.model = model
         self.enable_reorder = enable_reorder
         self.manual_mode = manual_mode
         self.verbose = verbose
@@ -219,10 +223,16 @@ class InputProperty:
             from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid
             from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
 
-            # pack width follows the smallest aggregated dim (GCN aggregates
-            # at hidden/classes width; GEMM-then-aggregate, §3.1).
-            agg_dim = min(self.hidden_dim, max(self.graph.num_classes, 1))
-            self.hybrid_graph = build_hybrid(self.graph, feature_dim=agg_dim)
+            # pack width follows the smallest dim the model aggregates at:
+            # GCN is GEMM-then-aggregate (hidden/classes, §3.1); GIN is
+            # aggregate-then-GEMM (input/hidden, §3.2).
+            if self.model == "gin":
+                agg_dim = min(self.input_dim, self.hidden_dim)
+            else:
+                agg_dim = min(self.hidden_dim, max(self.graph.num_classes, 1))
+            self.hybrid_graph = build_hybrid(
+                self.graph, pack_c=self.pack_c, feature_dim=agg_dim
+            )
             gt = build_hybrid_tensors(self.hybrid_graph, device=device)
             return gt, gt
         groups = None

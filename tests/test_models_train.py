@@ -55,3 +55,15 @@ def test_dense_and_ell_models_agree(small_graph):
     np.testing.assert_allclose(
         np.asarray(out_ell), np.asarray(out_dense), rtol=1e-3, atol=1e-4
     )
+
+
+def test_accuracy_helper(small_graph):
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.train import accuracy
+
+    lp = jnp.log(jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]]))
+    y = jnp.asarray([0, 1, 1])
+    assert float(accuracy(lp, y)) == pytest.approx(2 / 3)
+    mask = jnp.asarray([1.0, 1.0, 0.0])
+    assert float(accuracy(lp, y, mask)) == pytest.approx(1.0)
