@@ -22,6 +22,9 @@ import sys
 
 
 def main():
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
     import jax.numpy as jnp
 

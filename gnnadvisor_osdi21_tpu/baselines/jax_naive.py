@@ -36,6 +36,9 @@ def gin_layer(x, w, coo_src, coo_dst, n, eps=0.5):
 
 
 def run(dataset: str, model: str, epochs: int) -> float:
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import optax

@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                 f"{flags} --xla_force_host_platform_device_count={max(dev_list)}"
             ).strip()
 
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     if not os.environ.get("GRAFT_REAL_DEVICES"):

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     quick = "--quick" in argv
     dim = 16
 
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -108,6 +108,9 @@ def load_dataset(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(args)
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

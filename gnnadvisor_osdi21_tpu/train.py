@@ -77,6 +77,38 @@ def build_model(
     raise ValueError(f"unknown model: {model}")
 
 
+def make_epoch_scan(
+    apply_fn: Callable,
+    gts: Sequence[GraphTensors],
+    optimizer: optax.GradientTransformation,
+    num_epochs: int,
+    mask: jax.Array | None = None,
+):
+    """The whole training run as ONE compiled program: a ``lax.scan`` over
+    epochs.  TPU-idiomatic — removes per-epoch dispatch overhead entirely
+    (the reference pays a Python->C++->CUDA launch per layer per epoch;
+    here XLA owns the full loop)."""
+
+    def loss_fn(params, x, y):
+        return nll_loss(apply_fn(params, x, gts), y, mask)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+    def run(params, opt_state, x, y):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=num_epochs
+        )
+        return params, opt_state, losses[-1]
+
+    return run
+
+
 def train_and_time(
     model: str,
     gts: Sequence[GraphTensors],
@@ -89,31 +121,48 @@ def train_and_time(
     lr: float = 0.01,
     seed: int = 0,
     mask: jax.Array | None = None,
+    use_scan: bool = True,
 ) -> dict:
-    """Run the reference timing protocol; returns timings + final loss."""
+    """Run the reference timing protocol; returns timings + final loss.
+
+    ``use_scan=True`` (default) compiles the full epoch loop into one
+    program; ``False`` uses a per-epoch dispatch loop like the reference.
+    Fences are host scalar fetches, not ``block_until_ready`` — on
+    tunneled/async platforms the latter is not a reliable completion fence
+    (utils/timing.py discussion).
+    """
     params, apply_fn = build_model(
         model, jax.random.PRNGKey(seed), x.shape[1], hidden, num_classes
     )
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step = make_train_step(apply_fn, gts, optimizer, mask=mask)
 
-    # Fence with a host scalar fetch, not block_until_ready: on tunneled/
-    # async platforms block_until_ready is not a reliable completion fence
-    # (utils/timing.py discussion); float() forces the value.  The one
-    # host roundtrip (~tens of ms) amortizes over the epochs.
-    loss = jnp.zeros(())
-    compile_start = time.perf_counter()
-    for _ in range(dry_run):
-        params, opt_state, loss = step(params, opt_state, x, y)
-    float(loss)
-    warmup_s = time.perf_counter() - compile_start
-
-    start = time.perf_counter()
-    for _ in range(num_epochs):
-        params, opt_state, loss = step(params, opt_state, x, y)
-    final_loss = float(loss)
-    train_s = time.perf_counter() - start
+    if use_scan:
+        warm = make_epoch_scan(apply_fn, gts, optimizer, dry_run, mask=mask)
+        timed = make_epoch_scan(apply_fn, gts, optimizer, num_epochs, mask=mask)
+        compile_start = time.perf_counter()
+        params, opt_state, loss = warm(params, opt_state, x, y)
+        float(loss)
+        # compile the timed program outside the measured window
+        timed_c = timed.lower(params, opt_state, x, y).compile()
+        warmup_s = time.perf_counter() - compile_start
+        start = time.perf_counter()
+        params, opt_state, loss = timed_c(params, opt_state, x, y)
+        final_loss = float(loss)
+        train_s = time.perf_counter() - start
+    else:
+        step = make_train_step(apply_fn, gts, optimizer, mask=mask)
+        loss = jnp.zeros(())
+        compile_start = time.perf_counter()
+        for _ in range(dry_run):
+            params, opt_state, loss = step(params, opt_state, x, y)
+        float(loss)
+        warmup_s = time.perf_counter() - compile_start
+        start = time.perf_counter()
+        for _ in range(num_epochs):
+            params, opt_state, loss = step(params, opt_state, x, y)
+        final_loss = float(loss)
+        train_s = time.perf_counter() - start
 
     return {
         "epoch_ms": train_s * 1e3 / num_epochs,
