@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -29,7 +29,6 @@ Reference semantics captured here (quirks intact):
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

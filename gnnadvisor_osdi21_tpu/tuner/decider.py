@@ -36,7 +36,7 @@ from typing import Optional
 
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 from gnnadvisor_osdi21_tpu.graphs.partition import build_neighbor_groups
-from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors, build_graph_tensors
+from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
 
 # TPU resource model (v5e-class defaults).
 VMEM_BUDGET_BYTES = 16 * 1024 * 1024  # per-core VMEM (the sharedMem analog)
