@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("loadFromTxt", "False", "load TXT edge list instead of .npz"),
         ("single_spmm", "False", "profile the single SpMM kernel"),
         ("verify_spmm", "False", "verify SpMM against the CPU reference"),
+        ("use_scan", "True", "compile the full epoch loop as one lax.scan"),
     ):
         p.add_argument(
             f"--{name}", type=str, choices=["True", "False"], default=default, help=hlp
@@ -192,6 +193,7 @@ def main(argv=None) -> int:
         args.model, gts, x, y,
         hidden=args.hidden, num_classes=graph.num_classes,
         num_epochs=args.num_epoches, mask=mask, seed=args.seed,
+        use_scan=args.use_scan == "True",
     )
     if verbose:
         print(f"# warmup (s): {res['warmup_s']:.2f}  final loss: {res['final_loss']:.4f}")
