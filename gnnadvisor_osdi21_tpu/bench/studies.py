@@ -32,6 +32,10 @@ def _run(dataset, extra, quick):
         sys.executable, "-m", "gnnadvisor_osdi21_tpu",
         "--dataset", dataset, "--dim", str(dim), "--classes", str(classes),
         "--num_epoches", "50" if quick else "200",
+        # per-epoch dispatch loop: each study config is a fresh program and
+        # the full-scan variant's first compile is very slow through this
+        # environment's remote compiler (see DESIGN.md §6)
+        "--use_scan", "False",
     ] + extra
     subprocess.run(cmd)
 

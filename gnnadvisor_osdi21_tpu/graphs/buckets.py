@@ -57,15 +57,30 @@ _BUCKET_STEPS = np.array(
 )
 
 
-def _bucket_parts(parts: np.ndarray) -> np.ndarray:
-    """Round parts-per-node up to the nearest allowed bucket step."""
-    idx = np.searchsorted(_BUCKET_STEPS, parts)
-    idx = np.minimum(idx, len(_BUCKET_STEPS) - 1)
-    out = _BUCKET_STEPS[idx]
+_BUCKET_STEPS_COARSE = np.array(
+    [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+     32768, 65536],
+    dtype=np.int64,
+)
+
+
+def _bucket_parts(parts: np.ndarray, steps: np.ndarray | None = None) -> np.ndarray:
+    """Round parts-per-node up to the nearest allowed bucket step.
+
+    ``steps=None`` uses the fine (~1.33x growth) table: ~10% padding, ~40
+    buckets max.  ``_BUCKET_STEPS_COARSE`` (powers of two) halves the
+    bucket count — smaller compiled programs — for ~25% worst-case
+    in-bucket padding.
+    """
+    if steps is None:
+        steps = _BUCKET_STEPS
+    idx = np.searchsorted(steps, parts)
+    idx = np.minimum(idx, len(steps) - 1)
+    out = steps[idx]
     # beyond the table: round up to multiple of the largest step
-    big = parts > _BUCKET_STEPS[-1]
+    big = parts > steps[-1]
     if big.any():
-        step = _BUCKET_STEPS[-1]
+        step = steps[-1]
         out[big] = -(-parts[big] // step) * step
     return out
 

@@ -43,7 +43,7 @@ from typing import List
 
 import numpy as np
 
-from gnnadvisor_osdi21_tpu.graphs.buckets import _bucket_parts
+from gnnadvisor_osdi21_tpu.graphs.buckets import _bucket_parts, _BUCKET_STEPS_COARSE
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 
 
@@ -100,10 +100,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _estimate_slots(unit_metric: np.ndarray, align: int) -> int:
+def _estimate_slots(
+    unit_metric: np.ndarray, align: int, steps: np.ndarray | None = None
+) -> int:
     """Padded slot count if units are bucket-sorted by ``unit_metric``
     (rectangle rows x widths, before exact-census correction)."""
-    key = _bucket_parts(np.maximum(unit_metric, 1))
+    key = _bucket_parts(np.maximum(unit_metric, 1), steps)
     ks, counts = np.unique(key, return_counts=True)
     padded = (-(-counts // align)) * align
     return int((padded * ks).sum())
@@ -147,6 +149,7 @@ def _build_hybrid_once(
     pad_packs_to: int = 8,
     row_align: int = 512,
     cold_mode: str = "auto",
+    coarse_buckets: bool = True,
 ) -> HybridGraph:
     """Build the hybrid layout.  ``pack_c`` defaults to ``128 // D`` capped
     to [1, 32] (one pack row ≈ one 128-lane vector row); the cold mask
@@ -215,8 +218,9 @@ def _build_hybrid_once(
         m_node = np.bincount(
             (uniq_n // n_pack0).astype(np.int64), minlength=n
         )
-        cost_pack = _estimate_slots(m_pack, pad_packs_to) * 11.0
-        cost_node = _estimate_slots(m_node, pad_packs_to * c) * 4.5
+        est_steps = _BUCKET_STEPS_COARSE if coarse_buckets else None
+        cost_pack = _estimate_slots(m_pack, pad_packs_to, est_steps) * 11.0
+        cost_node = _estimate_slots(m_node, pad_packs_to * c, est_steps) * 4.5
         if cost_pack < cost_node:
             cold_mode, unit_metric, n_units, unit = "pack", m_pack, n_pack0, c
         else:
@@ -226,7 +230,8 @@ def _build_hybrid_once(
     # Units move whole (in pack mode a pack's rows travel together, so any
     # upstream rabbit locality inside it survives); bucket starts stay
     # aligned to pack_c so destination packs never straddle buckets.
-    bucket_key = _bucket_parts(np.maximum(unit_metric, 1))
+    steps = _BUCKET_STEPS_COARSE if coarse_buckets else None
+    bucket_key = _bucket_parts(np.maximum(unit_metric, 1), steps)
     unit_order = np.argsort(bucket_key, kind="stable")  # new pos -> old unit
     align_units = max(_round_up(np.lcm(pad_packs_to, c), unit) // unit, 1)
 
@@ -398,6 +403,7 @@ def build_hybrid(
     row_align: int = 512,
     cold_mode: str = "auto",
     two_pass: bool = True,
+    coarse_buckets: bool = True,
 ) -> HybridGraph:
     """Two-pass build: the first pass's bucket sort changes destination-pack
     boundaries, which makes the width census approximate (and the exact-max
@@ -407,6 +413,7 @@ def build_hybrid(
     kwargs = dict(
         pack_c=pack_c, hot_k=hot_k, feature_dim=feature_dim,
         pad_packs_to=pad_packs_to, row_align=row_align, cold_mode=cold_mode,
+        coarse_buckets=coarse_buckets,
     )
     hg1 = _build_hybrid_once(graph, **kwargs)
     if not two_pass:
