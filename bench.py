@@ -49,7 +49,9 @@ def main():
                  num_nodes=graph.num_nodes)
 
     graph = rabbit_reorder_graph(graph)
-    hg = build_hybrid(graph, feature_dim=dim)
+    # fine bucket steps: ~20% faster than the coarse default (which trades
+    # padding for smaller compiled programs); the kernel bench wants peak
+    hg = build_hybrid(graph, feature_dim=dim, coarse_buckets=False)
     ht = build_hybrid_tensors(hg)
 
     x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
