@@ -139,7 +139,11 @@ def _from_edges(
     num_edges = int(src.shape[0])
     edge_index = np.stack([src, dst]).astype(np.int64)
     avg_degree = num_edges / max(num_nodes, 1)
-    avg_edge_span = float(np.mean(np.abs(src.astype(np.int64) - dst.astype(np.int64))))
+    avg_edge_span = (
+        float(np.mean(np.abs(src.astype(np.int64) - dst.astype(np.int64))))
+        if num_edges
+        else 0.0
+    )
     row_pointers, column_index = build_csr(edge_index, num_nodes)
     return GraphCSR(
         num_nodes=int(num_nodes),
