@@ -15,6 +15,7 @@ cached on first use.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -56,8 +57,10 @@ def get_dataset(name: str, data_dir: str = "data", dim=None, classes=None) -> Gr
     c = classes if classes is not None else c
     path = os.path.join(data_dir, f"{name}.npz")
     if not os.path.exists(path):
+        # crc32, not hash(): Python string hashing is salted per process, so
+        # hash(name) would make first-time synthesis nondeterministic.
         g = synthesize_graph(n, e, num_features=d, num_classes=c, kind=kind,
-                             seed=abs(hash(name)) % 2**31)
+                             seed=zlib.crc32(name.encode()) % 2**31)
         os.makedirs(data_dir, exist_ok=True)
         np.savez(
             path, src_li=g.edge_index[0], dst_li=g.edge_index[1], num_nodes=n

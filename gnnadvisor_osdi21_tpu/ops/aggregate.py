@@ -106,10 +106,6 @@ def _dispatch_aggregate(x: jax.Array, gt, norm: bool) -> jax.Array:
         return _dense_aggregate(x, gt, norm)
     if gt.method == "coo":
         return _coo_aggregate(x, gt, norm)
-    if gt.method == "pallas":
-        from gnnadvisor_osdi21_tpu.ops import spmm_pallas
-
-        return spmm_pallas.part_aggregate(x, gt, norm)
     raise ValueError(f"unknown aggregation method: {gt.method}")
 
 

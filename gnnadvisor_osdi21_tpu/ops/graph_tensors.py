@@ -18,7 +18,9 @@ Paths (selected by the decider, tuner/decider.py):
 - ``"coo"``    — per-edge gather + sorted segment-sum (the Gunrock-style
                  naive baseline, cf. Gunrock/app/spmm/spmm_enactor.cuh:92-105,
                  minus the atomics).
-- ``"pallas"`` — hand-written Pallas aggregation kernels (ops/spmm_pallas.py).
+
+(The tuned ``"hybrid"`` path, including its Pallas hot-slab kernel, has its
+own pytree: ``ops/hybrid_agg.HybridTensors``.)
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def build_graph_tensors(
         num_nodes=graph.num_nodes,
         method=method,
     )
-    if method in ("ell", "pallas"):
+    if method == "ell":
         if groups is None:
             if part_size is None:
                 part_size = max(int(graph.avg_degree), 1)

@@ -113,16 +113,3 @@ def hot_slab_matmul_auto(bits: jax.Array, x_hot: jax.Array) -> jax.Array:
     """Dispatch: Pallas on TPU, interpreter elsewhere (tests on CPU)."""
     interpret = jax.default_backend() not in ("tpu", "axon")
     return hot_slab_matmul(bits, x_hot, interpret=interpret)
-
-
-# ---------------------------------------------------------------------------
-# Legacy entry point used by GraphTensors(method="pallas"): the padded
-# neighbor-group layout routed through XLA (kept for API compatibility; the
-# hybrid layout above is the tuned path).
-# ---------------------------------------------------------------------------
-
-
-def part_aggregate(x, gt, norm: bool):
-    from gnnadvisor_osdi21_tpu.ops.aggregate import _ell_aggregate
-
-    return _ell_aggregate(x, gt, norm)

@@ -56,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
 class LayerConfig:
     """Per-layer kernel parameters (the set_input/set_hidden analog)."""
 
-    method: str  # "dense" | "ell" | "coo" | "pallas"
+    method: str  # "dense" | "ell" | "coo" | "hybrid"
     part_size: int
     feature_tile: int  # lanes per feature tile (dimWorker analog)
     block_parts: int  # part rows per kernel block (warpPerBlock analog)
@@ -236,7 +236,7 @@ class InputProperty:
             gt = build_hybrid_tensors(self.hybrid_graph, device=device)
             return gt, gt
         groups = None
-        if li.method in ("ell", "pallas"):
+        if li.method == "ell":
             groups = build_neighbor_groups(
                 self.graph.row_pointers, self.graph.column_index, li.part_size
             )
