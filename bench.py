@@ -2,9 +2,9 @@
 full tuned pipeline on an amazon0505-scale graph at feature dim 16.
 
 Pipeline: rabbit community reordering (native C++) → input-adaptive hybrid
-layout (hot bit-slab + packed cold gathers, decider-chosen parameters) →
-50 chained kernel executions on device (serial data dependency — reliable
-over the tunneled TPU, see utils/timing.py).
+layout (diagonal + hot bit-slabs + residual one-hot combine, cost-model
+chosen tiers) → 50 chained kernel executions on device (serial data
+dependency — reliable over the tunneled TPU, see utils/timing.py).
 
 Protocol mirrors the reference's SpMM bench (unitest.py:65-80,
 3_single_spmm_bench.py, 0_bench_Gunrock.py): all-ones features, dim=16,
@@ -49,15 +49,16 @@ def main():
                  num_nodes=graph.num_nodes)
 
     graph = rabbit_reorder_graph(graph)
-    # fine bucket steps: ~20% faster than the coarse default (which trades
-    # padding for smaller compiled programs); the kernel bench wants peak
-    hg = build_hybrid(graph, feature_dim=dim, coarse_buckets=False)
+    hg = build_hybrid(graph)
     ht = build_hybrid_tensors(hg)
 
     x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
     sec = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=50, reps=3)
     ms = sec * 1e3
 
+    from gnnadvisor_osdi21_tpu.utils.profiling import spmm_roofline
+
+    rl = spmm_roofline(sec, graph.nnz, dim, graph.num_nodes)
     gunrock_amazon0505_ms = 4.065
     print(
         json.dumps(
@@ -66,6 +67,9 @@ def main():
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(gunrock_amazon0505_ms / ms, 4),
+                "edges_per_s": round(graph.nnz / sec / 1e9, 3),
+                "edges_per_s_unit": "Gedge/s",
+                "hbm_floor_fraction": round(rl.hbm_fraction, 4),
             }
         )
     )

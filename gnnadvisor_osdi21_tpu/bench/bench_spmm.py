@@ -47,8 +47,8 @@ def main(argv=None) -> int:
     print("dataset,hybrid_ms,naive_coo_ms,speedup,gunrock_rtx3090_ms")
     for name in roster:
         g = rabbit_reorder_graph(get_dataset(name, dim=dim))
-        hg = build_hybrid(g, feature_dim=dim)
-        ht = build_hybrid_tensors(hg, agg_dtype="bfloat16")
+        hg = build_hybrid(g)
+        ht = build_hybrid_tensors(hg)
         x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
         t_h = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=iters) * 1e3
 

@@ -22,7 +22,7 @@ import sys
 from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, TYPE_III
 
 PARTSIZES = [2, 4, 8, 16, 32, 64, 128, 256, 512]
-DIM_TILES = [1, 2, 4, 8, 16, 32]  # dimWorker grid (s7-4_2:5)
+DIM_TILES = [8, 16, 32, 64, 128]  # dimWorker grid (s7-4_2:5), lane tiles
 HIDDEN = [16, 32, 64, 128, 256, 512, 1024]  # s7-5_1:5
 
 
@@ -57,16 +57,16 @@ def main(argv=None) -> int:
                           "--partSize", str(ps), "--hidden", "16"], quick)
     elif study == "dimtile":
         # dimension-partitioning study (s7-4_2): on TPU the adaptable
-        # feature-axis parameter is the hybrid pack width (nodes per
-        # 128-lane gather row), not a thread count.
+        # feature-axis parameter is the slab kernels' lane tile (lanes per
+        # Pallas grid step), not a thread count.
         for dw in DIM_TILES[:3] if quick else DIM_TILES:
             print("******************************")
-            print(f"++ packC: {dw}")
+            print(f"++ dimWorker: {dw}")
             print("******************************")
             for ds in graphs:
-                print(f"{ds}---packC: {dw}")
-                _run(ds, ["--manual_mode", "False", "--method", "hybrid",
-                          "--packC", str(dw), "--hidden", "16"], quick)
+                print(f"{ds}---dimWorker: {dw}")
+                _run(ds, ["--manual_mode", "True", "--method", "hybrid",
+                          "--dimWorker", str(dw), "--hidden", "16"], quick)
     elif study == "reorder":
         for flag in ("False", "True"):
             print("******************************")

@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     # manual performance parameters (TPU analogs in parentheses)
     p.add_argument("--partSize", type=int, default=32, help="neighbor-group size")
     p.add_argument("--dimWorker", type=int, default=32, help="feature lane tile")
-    p.add_argument("--warpPerBlock", type=int, default=4, help="block rows")
+    p.add_argument("--warpPerBlock", type=int, default=8,
+                   help="slab rows per grid step, in units of 64 rows")
     p.add_argument("--sharedMem", type=int, default=16384, help="VMEM budget (KB)")
     # string booleans, reference-style
     for name, default, hlp in (
@@ -68,9 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="generate a graph: 'N:E:kind' (e.g. 410236:4878874:powerlaw)",
     )
     p.add_argument("--num_devices", type=int, default=1, help="graph-mesh size")
-    p.add_argument("--packC", type=int, default=0,
-                   help="hybrid cold-path pack width (0 = auto from dims)")
+    p.add_argument("--diagB", type=int, default=-1,
+                   help="hybrid diagonal-tier block rows (-1 = cost model, 0 = off)")
+    p.add_argument("--hotK", type=int, default=-1,
+                   help="hybrid hot-tier slab columns (-1 = cost model, 0 = off)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_ckpt", type=str, default="",
+                   help="save (params, opt_state, step) to this path after training")
+    p.add_argument("--resume", type=str, default="",
+                   help="restore (params, opt_state, step) from this path first")
     return p
 
 
@@ -127,9 +134,11 @@ def main(argv=None) -> int:
         hidden_dim=args.hidden,
         part_size=args.partSize if args.manual_mode == "True" else None,
         feature_tile=args.dimWorker if args.manual_mode == "True" else None,
+        block_parts=args.warpPerBlock * 64 if args.manual_mode == "True" else None,
         vmem_budget=args.sharedMem * 1024,
         method=None if args.method == "auto" else args.method,
-        pack_c=args.packC or None,
+        diag_b=None if args.diagB < 0 else args.diagB,
+        hot_k=None if args.hotK < 0 else args.hotK,
         model=args.model,
         enable_reorder=args.enable_rabbit == "True",
         manual_mode=args.manual_mode == "True",
@@ -194,6 +203,7 @@ def main(argv=None) -> int:
         hidden=args.hidden, num_classes=graph.num_classes,
         num_epochs=args.num_epoches, mask=mask, seed=args.seed,
         use_scan=args.use_scan == "True",
+        save_ckpt=args.save_ckpt or None, resume=args.resume or None,
     )
     if verbose:
         print(f"# warmup (s): {res['warmup_s']:.2f}  final loss: {res['final_loss']:.4f}")

@@ -1,114 +1,115 @@
-"""Hybrid hot/cold graph layout — the tuned single-chip SpMM format.
+"""Hybrid hot/diagonal/residual graph layout — the tuned single-chip format.
 
-Measured TPU reality (v5e, this repo's microbenchmarks): XLA row gathers run
-at a roughly *constant ~120-150M rows/s regardless of row width* (64B-1KB),
-scatters are ~10x worse, and big dense matmuls stream near memory speed.
-So the aggregation layout must (a) never scatter, (b) gather as few,
-as-wide rows as possible, and (c) push whatever structure exists onto the
-MXU.  This module does all three, input-adaptively (the GNNAdvisor thesis —
-derive the execution shape from graph stats — applied to TPU):
+Measured TPU reality (v5e, bench/fmtprobe.py + bench/breakdown.py):
 
-**Hot path** (degree skew): the top-K most-referenced destination nodes
-become a *bitpacked dense adjacency slab* ``hot_bits[R, K/32]`` (one bit
-per (node-row, hot-column) pair) and a small gathered feature table
-``x_hot = x[hot_ids]``.  ``out_hot = unpack(hot_bits) @ x_hot`` — an MXU
-matmul (Pallas kernel, ops/spmm_pallas.py) whose HBM cost is K/8 bytes per
-node.  Measured ~1.7ns/edge vs ~7ns/edge for gathers at ~50% coverage.
+- XLA row gathers cost ~5 ns/row at 300-600k rows, *independent of row
+  width* (row-count-bound); sorted indices don't help; scatters are ~10x
+  worse than gathers.
+- A Pallas bit-slab matmul (unpack 1 bit/slot -> MXU dot) processes slab
+  area at ~2.0 ps/slot regardless of number format (int8 dense reads are
+  HBM-bound at the same cost; f32 vs bf16 dot is irrelevant — the VPU
+  unpack dominates).
+- Pallas streams HBM at ~690 GB/s (84% of the 819 GB/s spec).
 
-**Cold path** (the tail): nodes are packed ``pack_c`` per row-group and the
-cold adjacency is stored as **c×c bit blocks**: one gathered feature row
-(the destination pack, width ``c·D``) serves every cold edge between 8
-source nodes and 8 destination nodes, with a c×c-bit membership mask.
-This deduplicates across *both* endpoints: hub destinations get an
-automatic ≥c× reduction (every src in a pack shares the row), and
-community-reordered tails share packs among neighboring sources.  Per
-bucket of equal block-count the structure is a dense rectangle, so
-aggregation is ``gather packs → unpack mask → tiny batched matmul`` and
-bucket outputs concatenate — **zero scatters**.
+So aggregation out[s] = Σ_{d∈N(s)} x[d] is split into three tiers, each
+scatter-free and chosen input-adaptively by a measured cost model (the
+GNNAdvisor thesis — derive execution shape from graph stats, param.py:51 —
+re-derived for TPU economics):
 
-Pack *order* is bucket-sorted by block count (packs move as units, so
-rabbit locality inside packs survives); K is chosen from the coverage
-curve with a measured-cost model.
+1. **Diagonal tier**: rows keep their (rabbit-reordered) order; edges whose
+   endpoints share a ``diag_b``-row block land in a per-block bit slab
+   ``diag_bits[R, B/32]``.  One Pallas matmul per row-block against the
+   block's own contiguous x slice — zero gathers.  Community reordering
+   directly feeds this tier (67% of non-hub edges on an amazon0505-scale
+   web graph), which is the TPU re-expression of the reference's locality
+   thesis (rabbit_module/src/reorder.cpp:235-290).
+2. **Hot tier**: the top-K in-degree destinations among off-block edges
+   become a global bit slab ``hot_bits[R, K/32]`` against the gathered
+   ``x[hot_ids]`` table (K rows, one tiny gather).
+3. **Residual tier**: each remaining edge is one gather slot.  Slots are
+   CSR-ordered (sorted by source row), grouped into ``res_ob``-row output
+   blocks and ``res_tile``-slot tiles; the combine is a batched one-hot
+   einsum (MXU) plus ONE fat-row ``segment_sum`` over tiles — scatter cost
+   is per *row* and tile rows are ``res_ob·D`` wide, so the scatter is
+   ~free.  Pad slots carry ``seg == res_ob`` which one-hot-matches nothing.
 
-GCN's ``deg[s]·deg[d]`` weighting folds into a dense pre-scale of x rows
-and post-scale of output rows, so neither path needs per-edge weights.
-Reference kernels being replaced: GNNAdvisor_kernel.cu:324-415 (and the
-SAG/GIN variants :186-259, :620-689).
+The reference kernels replaced: GNNAdvisor_kernel.cu:324-415 (GCN fwd),
+:186-259 (SAG), :620-689 (GIN) — their warp/atomic decomposition has no
+TPU analog; the tiers above are the MXU/VPU-native re-design.
+
+GCN's multiplicative ``deg[s]·deg[d]`` weighting (dataset.py:122,
+GNNAdvisor_kernel.cu:389) folds into a dense pre-scale of x and post-scale
+of out, so no tier touches per-edge weights.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
 
 import numpy as np
 
-from gnnadvisor_osdi21_tpu.graphs.buckets import _bucket_parts, _BUCKET_STEPS_COARSE
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 
+# Measured cost-model constants (v5e, bench/fmtprobe.py 2026-08-17).
+SLAB_NS_PER_SLOT = 0.0020  # bit-slab unpack+dot, per (row, column) slot
+GATHER_NS_PER_ROW = 5.0  # XLA take, 300-600k rows
+RESID_COMBINE_NS = 2.0  # one-hot einsum + fat segment_sum, per slot
 
-@dataclasses.dataclass
-class ColdBucket:
-    """Source packs with the same padded block-count ``width``; pack rows
-    [pack_start, pack_start + num_packs)."""
-
-    pack_start: int
-    num_packs: int
-    real_packs: int
-    width: int  # block slots per source pack
-    block_dst: np.ndarray  # [num_packs, width] int32 — dst pack id, 0-padded
-    block_mask: np.ndarray  # [num_packs, width, c] uint32 — bits over dst offset
-
-
-@dataclasses.dataclass
-class HybridGraph:
-    """Hot bitmask slab + cold block buckets + the relabeling."""
-
-    perm: np.ndarray  # old id -> permuted id (identity here; kept for API)
-    pad_pos: np.ndarray  # permuted id -> padded row
-    num_rows: int  # padded row count (multiple of pack_c and 512)
-    real_nodes: int
-    pack_c: int
-    cold_mode: str
-    degrees: np.ndarray  # [num_rows] f32 sqrt-degrees
-    row_mask: np.ndarray  # [num_rows] f32
-    # hot path
-    hot_k: int  # 0 = disabled
-    hot_ids: np.ndarray  # [K] padded-row ids of hot nodes
-    hot_bits: np.ndarray  # [num_rows, K/32] uint32 (bit-major layout)
-    # cold path
-    buckets: List[ColdBucket]
-    # stats
-    num_hot_edges: int
-    num_cold_edges: int
-    cold_gather_rows: int  # total valid block slots (the gather row count)
-
-    def pad_array(self, a: np.ndarray, permute: bool = True) -> np.ndarray:
-        a = np.asarray(a)
-        out = np.zeros((self.num_rows,) + a.shape[1:], dtype=a.dtype)
-        pos = self.pad_pos[self.perm] if permute else self.pad_pos
-        out[pos] = a
-        return out
-
-    def unpad_array(self, a: np.ndarray, permute: bool = True) -> np.ndarray:
-        a = np.asarray(a)
-        pos = self.pad_pos[self.perm] if permute else self.pad_pos
-        return a[pos]
+DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096)
+HOT_CANDIDATES = (0, 512, 1024, 2048, 4096)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _estimate_slots(
-    unit_metric: np.ndarray, align: int, steps: np.ndarray | None = None
-) -> int:
-    """Padded slot count if units are bucket-sorted by ``unit_metric``
-    (rectangle rows x widths, before exact-census correction)."""
-    key = _bucket_parts(np.maximum(unit_metric, 1), steps)
-    ks, counts = np.unique(key, return_counts=True)
-    padded = (-(-counts // align)) * align
-    return int((padded * ks).sum())
+@dataclasses.dataclass
+class HybridGraph:
+    """Three-tier layout.  Rows = original (possibly rabbit-reordered) node
+    order, zero-padded at the end to ``num_rows`` — no relabeling, so the
+    layout composes with any upstream permutation and across layers."""
+
+    num_rows: int  # multiple of max(diag_b, res_ob, 512)
+    real_nodes: int
+    degrees: np.ndarray  # [R] f32 sqrt-degrees (1.0 on pad rows)
+    row_mask: np.ndarray  # [R] f32, 1 on real rows
+    # hot tier (0 = disabled)
+    hot_k: int
+    hot_ids: np.ndarray  # [K] int32 row ids of hot destinations
+    hot_bits: np.ndarray  # [R, K/32] uint32, bit-major layout
+    # diagonal tier (0 = disabled)
+    diag_b: int
+    diag_bits: np.ndarray  # [R, B/32] uint32, bit-major, cols local to block
+    # residual tier (res_dst.size == 0 = disabled)
+    res_dst: np.ndarray  # [M_pad] int32 destination row per slot
+    res_seg: np.ndarray  # [M_pad] int32 src offset in out-block; OB = pad
+    res_t2b: np.ndarray  # [T] int32 out-block of each tile
+    res_tile: int
+    res_ob: int
+    # stats
+    num_hot_edges: int = 0
+    num_diag_edges: int = 0
+    num_res_edges: int = 0
+    num_res_slots: int = 0  # including padding
+
+    # identity maps kept for API parity with relabeling layouts
+    @property
+    def perm(self) -> np.ndarray:
+        return np.arange(self.real_nodes, dtype=np.int64)
+
+    @property
+    def pad_pos(self) -> np.ndarray:
+        return np.arange(self.real_nodes, dtype=np.int64)
+
+    def pad_array(self, a: np.ndarray, permute: bool = True) -> np.ndarray:
+        """Node-indexed array -> kernel row space (zero-pad the tail)."""
+        a = np.asarray(a)
+        out = np.zeros((self.num_rows,) + a.shape[1:], dtype=a.dtype)
+        out[: self.real_nodes] = a
+        return out
+
+    def unpad_array(self, a: np.ndarray, permute: bool = True) -> np.ndarray:
+        return np.asarray(a)[: self.real_nodes]
 
 
 def choose_hot_k(
@@ -116,314 +117,192 @@ def choose_hot_k(
     num_nodes: int,
     num_edges: int,
     max_k: int = 4096,
-    gather_ns: float = 7.5,
-    slab_ns_per_col: float = 0.0027,
+    gather_ns: float = GATHER_NS_PER_ROW + RESID_COMBINE_NS,
+    slab_ns_per_col: float | None = None,
 ) -> int:
-    """Pick the hot-set size from the coverage curve with a measured cost
-    model: each 512 hot columns cost ~``N·512·slab_ns_per_col`` ns of
-    unpack+matmul per SpMM (VPU-bound, measured ~2.7ms at N=410k, K=1024)
-    and save ``covered_edges · gather_ns``.  (The param.py:51 decider analog
-    for the hybrid layout.)"""
+    """Hot-set size from the coverage curve + measured cost model: K slab
+    columns cost ``R·K·SLAB_NS_PER_SLOT`` per SpMM and save
+    ``covered · gather_ns``.  (The param.py:51 decider analog.)"""
+    if num_edges == 0 or num_nodes == 0:
+        return 0
+    per_col = (
+        slab_ns_per_col
+        if slab_ns_per_col is not None
+        else SLAB_NS_PER_SLOT * num_nodes
+    )
     counts = np.bincount(column_index, minlength=num_nodes)
-    order = np.argsort(counts)[::-1]
-    csum = np.cumsum(counts[order])
-    best_k, best_cost = 0, num_edges * gather_ns
-    for k in (512, 1024, 2048, 4096):
-        if k > max_k:
-            break
-        if k > num_nodes:
-            break
-        covered = int(csum[k - 1])
-        slab_ns = num_nodes * k * slab_ns_per_col
-        cost = slab_ns + (num_edges - covered) * gather_ns
+    csum = np.cumsum(np.sort(counts)[::-1])
+    best_k, best_cost = 0, float(num_edges) * gather_ns
+    for k in HOT_CANDIDATES:
+        if k == 0 or k > num_nodes or k > max_k:
+            continue
+        cost = k * per_col + (num_edges - int(csum[k - 1])) * gather_ns
         if cost < best_cost:
             best_k, best_cost = k, cost
     return best_k
 
 
-def _build_hybrid_once(
-    graph: GraphCSR,
-    pack_c: int | None = None,
+def choose_tiers(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
     hot_k: int | None = None,
-    feature_dim: int | None = None,
-    pad_packs_to: int = 8,
-    row_align: int = 512,
-    cold_mode: str = "auto",
-    coarse_buckets: bool = True,
-) -> HybridGraph:
-    """Build the hybrid layout.  ``pack_c`` defaults to ``128 // D`` capped
-    to [1, 32] (one pack row ≈ one 128-lane vector row); the cold mask
-    blocks are ``pack_c × pack_c`` bits (≤ 32 so a mask row fits uint32).
+    diag_b: int | None = None,
+) -> tuple[int, int]:
+    """Jointly pick (diag_b, hot_k) minimizing the measured cost
+    ``SLAB·R·(B+K) + (GATHER+COMBINE)·residual(B,K)``.
 
-    ``cold_mode``:
-
-    - ``"node"`` — one row of block slots per *node* (c×1 blocks): each
-      gathered pack row is masked by a single c-bit word broadcast over
-      lane groups — ~1 native VPU op per row.  Mask math is ~c× cheaper
-      than "pack" mode; dedup only across one endpoint.
-    - ``"pack"`` — one row of block slots per *source pack* (c×c blocks):
-      maximal dedup (hubs get ≥c× automatically) but the c×c mask
-      application costs ~c× more VPU work.  Best when dedup ≥ ~2.
-    """
-    n = graph.num_nodes
-    d = feature_dim if feature_dim is not None else graph.num_features
-    if pack_c is None:
-        pack_c = int(np.clip(128 // max(d, 1), 1, 32))
-    c = pack_c
-    assert c <= 32, "pack_c must fit a uint32 mask row"
-    if hot_k is None:
-        hot_k = choose_hot_k(graph.column_index, n, graph.nnz)
-    hot_k = max(min(hot_k, (n // 512) * 512), 0)
-
-    counts = np.bincount(graph.column_index, minlength=n)
-    hot_old = np.argsort(counts)[::-1][:hot_k] if hot_k else np.empty(0, np.int64)
-    is_hot = np.zeros(n, dtype=bool)
-    is_hot[hot_old] = True
-
-    # --- split edges (original id space) --------------------------------
-    rp = np.asarray(graph.row_pointers, dtype=np.int64)
-    ci = np.asarray(graph.column_index, dtype=np.int64)
-    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
-    hot_sel = is_hot[ci]
-    cold_src, cold_dst = src[~hot_sel], ci[~hot_sel]
-    hot_src, hot_dst = src[hot_sel], ci[hot_sel]
-
-    # --- provisional census (natural order) -----------------------------
-    n_pack0 = -(-n // c)
-    dp0 = cold_dst // c
-    if cold_mode == "pack":
-        sp0 = cold_src // c
-        uniq0 = np.unique(sp0 * np.int64(n_pack0) + dp0)
-        u_sp0 = (uniq0 // n_pack0).astype(np.int64)
-        unit_metric = np.bincount(u_sp0, minlength=n_pack0)
-        n_units, unit = n_pack0, c  # sort unit = one pack (c rows)
-    elif cold_mode == "node":
-        uniq0 = np.unique(cold_src * np.int64(n_pack0) + dp0)
-        u_node0 = (uniq0 // n_pack0).astype(np.int64)
-        unit_metric = np.bincount(u_node0, minlength=n)
-        n_units, unit = n, 1  # sort unit = one node
-    elif cold_mode != "auto":
-        raise ValueError(f"unknown cold_mode: {cold_mode}")
-
-    if cold_mode == "auto":
-        # Input-adaptive mode selection from the measured cost model:
-        # node-mode slots cost ~4.5ns (single native mask op), pack-mode
-        # slots ~11ns (cxc einsum) but dedup across both endpoints.
-        sp0 = cold_src // c
-        uniq_p = np.unique(sp0 * np.int64(n_pack0) + dp0)
-        m_pack = np.bincount(
-            (uniq_p // n_pack0).astype(np.int64), minlength=n_pack0
-        )
-        uniq_n = np.unique(cold_src * np.int64(n_pack0) + dp0)
-        m_node = np.bincount(
-            (uniq_n // n_pack0).astype(np.int64), minlength=n
-        )
-        est_steps = _BUCKET_STEPS_COARSE if coarse_buckets else None
-        cost_pack = _estimate_slots(m_pack, pad_packs_to, est_steps) * 11.0
-        cost_node = _estimate_slots(m_node, pad_packs_to * c, est_steps) * 4.5
-        if cost_pack < cost_node:
-            cold_mode, unit_metric, n_units, unit = "pack", m_pack, n_pack0, c
+    Fixing either parameter (manual mode) restricts the search to the
+    other.  Returns (diag_b, hot_k)."""
+    e = len(src)
+    if e == 0:
+        return (diag_b or 0, hot_k or 0)
+    if diag_b is not None and hot_k is not None:
+        return diag_b, hot_k  # fully manual: pass through (param.py:58-70)
+    res_ns = GATHER_NS_PER_ROW + RESID_COMBINE_NS
+    b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
+    best = None
+    for b in b_cands:
+        if b and b > _round_up(num_nodes, 512):
+            continue
+        if b:
+            off = src // b != dst // b
+            n_diag = int(e - off.sum())
+            od = dst[off]
         else:
-            cold_mode, unit_metric, n_units, unit = "node", m_node, n, 1
-
-    # --- permutation: bucket-sort units by block count -------------------
-    # Units move whole (in pack mode a pack's rows travel together, so any
-    # upstream rabbit locality inside it survives); bucket starts stay
-    # aligned to pack_c so destination packs never straddle buckets.
-    steps = _BUCKET_STEPS_COARSE if coarse_buckets else None
-    bucket_key = _bucket_parts(np.maximum(unit_metric, 1), steps)
-    unit_order = np.argsort(bucket_key, kind="stable")  # new pos -> old unit
-    align_units = max(_round_up(np.lcm(pad_packs_to, c), unit) // unit, 1)
-
-    key_sorted = bucket_key[unit_order]
-    extents = []  # (sorted_start, sorted_end, unit_start, num_units, key)
-    start, unit_start = 0, 0
-    while start < n_units:
-        k = key_sorted[start]
-        end = int(np.searchsorted(key_sorted, k, side="right"))
-        nb = _round_up(end - start, align_units)
-        extents.append((start, end, unit_start, nb, int(k)))
-        unit_start += nb
-        start = end
-    total_units = _round_up(unit_start, _round_up(row_align, unit * c) // unit)
-    num_rows = total_units * unit
-    num_rows = _round_up(num_rows, row_align)
-    total_packs = num_rows // c
-
-    unit_pad_pos = np.full(n_units, -1, dtype=np.int64)
-    for s, e, us, nb, _k in extents:
-        unit_pad_pos[unit_order[s:e]] = us + np.arange(e - s)
-
-    # node -> padded row
-    if cold_mode == "pack":
-        old2row = unit_pad_pos[np.arange(n) // c] * c + (np.arange(n) % c)
-    else:
-        old2row = unit_pad_pos[np.arange(n)]
-    perm = np.arange(n, dtype=np.int64)  # identity: pad_pos does the moving
-    pad_pos = old2row
-    pack_pad_pos = unit_pad_pos if cold_mode == "pack" else None
-
-    # --- hot slab (final row space, rows padded to num_rows) ------------
-    if hot_k:
-        from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits
-
-        hot_col = np.empty(n, dtype=np.int64)
-        hot_col[hot_old] = np.arange(hot_k)
-        hot_bits = pack_slab_bits(
-            old2row[hot_src], hot_col[hot_dst], num_rows, hot_k
-        )
-        hot_ids_rows = old2row[hot_old].astype(np.int32)
-    else:
-        hot_bits = np.zeros((num_rows, 0), dtype=np.uint32)
-        hot_ids_rows = np.zeros(0, dtype=np.int32)
-
-    # --- cold block rectangles (final space, exact census) --------------
-    dp = old2row[cold_dst] // c  # final dst pack of every cold edge
-    do = (old2row[cold_dst] % c).astype(np.uint32)  # lane group in final pack
-    buckets: List[ColdBucket] = []
-    if cold_mode == "pack":
-        sp = old2row[cold_src] // c
-        so = (old2row[cold_src] % c).astype(np.int64)
-        keys = (sp * np.int64(total_packs) + dp) * np.int64(c) + so
-        uniq = np.unique(keys)
-        inv = np.searchsorted(uniq, keys)
-        words = np.zeros(len(uniq), dtype=np.uint32)
-        np.bitwise_or.at(words, inv, np.uint32(1) << do)
-        u_blk = uniq // c
-        u_so = (uniq % c).astype(np.int64)
-        blk_uniq = np.unique(u_blk)
-        u_dp = (blk_uniq % total_packs).astype(np.int32)
-        u_sp = (blk_uniq // total_packs).astype(np.int64)
-        blocks_per_sr = np.bincount(u_sp, minlength=total_packs)
-        blk_start = np.concatenate(([0], np.cumsum(blocks_per_sr)))
-        n_blocks = len(blk_uniq)
-        blk_of_word = np.searchsorted(blk_uniq, u_blk)
-        mask_rows = np.zeros((n_blocks, c), dtype=np.uint32)
-        mask_rows[blk_of_word, u_so] = words
-        gather_rows = int(n_blocks)
-        for s, e, ps, nb, _k in extents:
-            real = e - s
-            packs = np.arange(ps, ps + real)
-            width = max(int(blocks_per_sr[packs].max()) if real else 1, 1)
-            bd = np.zeros((nb, width), dtype=np.int32)
-            bm = np.zeros((nb, width, c), dtype=np.uint32)
-            slots = blk_start[packs][:, None] + np.arange(width)[None, :]
-            valid = slots < blk_start[packs + 1][:, None]
-            safe = np.minimum(slots, max(n_blocks - 1, 0))
-            if n_blocks:
-                bd[:real] = np.where(valid, u_dp[safe], 0)
-                bm[:real] = np.where(valid[:, :, None], mask_rows[safe], 0)
-            buckets.append(ColdBucket(ps, nb, real, width, bd, bm))
-    else:  # node mode: one slot row per node, single c-bit mask per slot
-        sr = old2row[cold_src]
-        keys = sr * np.int64(total_packs) + dp
-        uniq = np.unique(keys)
-        inv = np.searchsorted(uniq, keys)
-        words = np.zeros(len(uniq), dtype=np.uint32)
-        np.bitwise_or.at(words, inv, np.uint32(1) << do)
-        u_row = (uniq // total_packs).astype(np.int64)
-        u_dp = (uniq % total_packs).astype(np.int32)
-        blocks_per_sr = np.bincount(u_row, minlength=num_rows)
-        blk_start = np.concatenate(([0], np.cumsum(blocks_per_sr)))
-        n_blocks = len(uniq)
-        gather_rows = int(n_blocks)
-        for s, e, us, nb, _k in extents:
-            real = e - s  # units are nodes here; bucket rows [us, us+nb)
-            rows = np.arange(us, us + real)
-            width = max(int(blocks_per_sr[rows].max()) if real else 1, 1)
-            # rectangle granularity stays per-pack for the kernel ([np, c, w])
-            nb_r = _round_up(nb, c)
-            bd = np.zeros((nb_r, width), dtype=np.int32)
-            bm = np.zeros((nb_r, width), dtype=np.uint32)
-            slots = blk_start[rows][:, None] + np.arange(width)[None, :]
-            valid = slots < blk_start[rows + 1][:, None]
-            safe = np.minimum(slots, max(n_blocks - 1, 0))
-            if n_blocks:
-                bd[:real] = np.where(valid, u_dp[safe], 0)
-                bm[:real] = np.where(valid, words[safe], 0)
-            buckets.append(
-                ColdBucket(
-                    us // c,
-                    nb_r // c,
-                    real,
-                    width,
-                    bd.reshape(nb_r // c, c, width),
-                    bm.reshape(nb_r // c, c, width),
-                )
-            )
-    # trailing alignment packs (row_align rounding) go in a zero bucket
-    covered = sum(b.num_packs for b in buckets)
-    if covered < total_packs:
-        nb = total_packs - covered
-        buckets.append(
-            ColdBucket(
-                pack_start=covered,
-                num_packs=nb,
-                real_packs=0,
-                width=1,
-                block_dst=np.zeros(
-                    (nb, 1) if cold_mode == "pack" else (nb, c, 1), np.int32
-                ),
-                block_mask=np.zeros(
-                    (nb, 1, c) if cold_mode == "pack" else (nb, c, 1), np.uint32
-                ),
-            )
-        )
-
-    degrees = np.ones(num_rows, dtype=np.float32)
-    degrees[old2row] = graph.degrees
-    row_mask = np.zeros(num_rows, dtype=np.float32)
-    row_mask[old2row] = 1.0
-
-    return HybridGraph(
-        perm=perm,
-        pad_pos=pad_pos,
-        num_rows=num_rows,
-        real_nodes=n,
-        pack_c=c,
-        cold_mode=cold_mode,
-        degrees=degrees,
-        row_mask=row_mask,
-        hot_k=hot_k,
-        hot_ids=hot_ids_rows,
-        hot_bits=hot_bits,
-        buckets=buckets,
-        num_hot_edges=int(hot_sel.sum()),
-        num_cold_edges=int((~hot_sel).sum()),
-        cold_gather_rows=gather_rows,
-    )
+            n_diag = 0
+            od = dst
+        rows = _round_up(max(num_nodes, 1), max(b, 512))
+        # hot curve on off-diagonal edges only: hubs that are mostly local
+        # do not earn a hot column
+        counts = np.bincount(od, minlength=num_nodes)
+        csum = np.cumsum(np.sort(counts)[::-1])
+        k_cands = HOT_CANDIDATES if hot_k is None else (hot_k,)
+        for k in k_cands:
+            if k > num_nodes and k != (hot_k or 0):
+                continue
+            covered = int(csum[min(k, len(csum)) - 1]) if k else 0
+            resid = e - n_diag - covered
+            cost = SLAB_NS_PER_SLOT * rows * (b + k) + res_ns * resid
+            if best is None or cost < best[2]:
+                best = (b, k, cost)
+    assert best is not None
+    return best[0], best[1]
 
 
 def build_hybrid(
     graph: GraphCSR,
-    pack_c: int | None = None,
     hot_k: int | None = None,
-    feature_dim: int | None = None,
-    pad_packs_to: int = 8,
+    diag_b: int | None = None,
+    res_tile: int = 128,
+    res_ob: int = 256,
+    feature_dim: int | None = None,  # kept for API compat; layout is D-free
     row_align: int = 512,
-    cold_mode: str = "auto",
-    two_pass: bool = True,
-    coarse_buckets: bool = True,
 ) -> HybridGraph:
-    """Two-pass build: the first pass's bucket sort changes destination-pack
-    boundaries, which makes the width census approximate (and the exact-max
-    correction pads heavily on skewed graphs).  Relabeling by the first
-    pass's node order and rebuilding makes the second census near-exact, so
-    rectangle padding collapses to the bucket-step slack (~10-25%)."""
-    kwargs = dict(
-        pack_c=pack_c, hot_k=hot_k, feature_dim=feature_dim,
-        pad_packs_to=pad_packs_to, row_align=row_align, cold_mode=cold_mode,
-        coarse_buckets=coarse_buckets,
+    """Build the three-tier layout.  ``hot_k``/``diag_b`` default to the
+    measured-cost-model choice (``choose_tiers``); pass explicit values
+    (including 0 to disable a tier) for manual mode / studies."""
+    n = graph.num_nodes
+    rp = np.asarray(graph.row_pointers, dtype=np.int64)
+    ci = np.asarray(graph.column_index, dtype=np.int64)
+    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+
+    diag_b, hot_k = choose_tiers(src, ci, n, hot_k=hot_k, diag_b=diag_b)
+    assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
+
+    num_rows = _round_up(max(n, 1), max(diag_b, res_ob, row_align))
+
+    # --- classify edges: diag > hot > residual --------------------------
+    if diag_b:
+        in_diag = (src // diag_b) == (ci // diag_b)
+    else:
+        in_diag = np.zeros(len(src), dtype=bool)
+
+    if hot_k:
+        assert hot_k % 32 == 0, f"hot_k {hot_k} must be a multiple of 32"
+        counts = np.bincount(ci[~in_diag], minlength=n)
+        top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
+        # hot_k > n: pad the id table with row 0 — those columns never set
+        # a bit, so the padded gathers contribute nothing
+        hot_ids = np.zeros(hot_k, dtype=np.int32)
+        hot_ids[: len(top)] = top
+        hot_col = np.full(n, -1, dtype=np.int64)
+        hot_col[top] = np.arange(len(top))
+        in_hot = (~in_diag) & (hot_col[ci] >= 0)
+    else:
+        hot_ids = np.zeros(0, dtype=np.int32)
+        in_hot = np.zeros(len(src), dtype=bool)
+
+    in_res = ~(in_diag | in_hot)
+
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits
+
+    # --- bit slabs ------------------------------------------------------
+    if hot_k:
+        hot_bits = pack_slab_bits(
+            src[in_hot], hot_col[ci[in_hot]], num_rows, hot_k
+        )
+    else:
+        hot_bits = np.zeros((num_rows, 0), dtype=np.uint32)
+    if diag_b:
+        diag_bits = pack_slab_bits(
+            src[in_diag], ci[in_diag] % diag_b, num_rows, diag_b
+        )
+    else:
+        diag_bits = np.zeros((num_rows, 0), dtype=np.uint32)
+
+    # --- residual slot stream -------------------------------------------
+    rs, rd = src[in_res], ci[in_res]  # already sorted by rs (CSR order)
+    n_blocks = num_rows // res_ob
+    if len(rs):
+        blk = rs // res_ob
+        counts_b = np.bincount(blk, minlength=n_blocks)
+        padded_b = _round_up_arr(counts_b, res_tile)
+        starts = np.concatenate(([0], np.cumsum(padded_b)))
+        m_pad = int(starts[-1])
+        res_dst = np.zeros(m_pad, dtype=np.int32)
+        res_seg = np.full(m_pad, res_ob, dtype=np.int32)  # pad: matches none
+        # position of each slot: block start + within-block index
+        within = np.arange(len(rs)) - np.concatenate(
+            ([0], np.cumsum(counts_b))
+        )[blk]
+        pos = starts[blk] + within
+        res_dst[pos] = rd
+        res_seg[pos] = rs - blk * res_ob
+        res_t2b = np.repeat(
+            np.arange(n_blocks, dtype=np.int32), padded_b // res_tile
+        )
+    else:
+        res_dst = np.zeros(0, dtype=np.int32)
+        res_seg = np.zeros(0, dtype=np.int32)
+        res_t2b = np.zeros(0, dtype=np.int32)
+
+    degrees = np.ones(num_rows, dtype=np.float32)
+    degrees[:n] = graph.degrees
+    row_mask = np.zeros(num_rows, dtype=np.float32)
+    row_mask[:n] = 1.0
+
+    return HybridGraph(
+        num_rows=num_rows,
+        real_nodes=n,
+        degrees=degrees,
+        row_mask=row_mask,
+        hot_k=hot_k,
+        hot_ids=hot_ids,
+        hot_bits=hot_bits,
+        diag_b=diag_b,
+        diag_bits=diag_bits,
+        res_dst=res_dst,
+        res_seg=res_seg,
+        res_t2b=res_t2b,
+        res_tile=res_tile,
+        res_ob=res_ob,
+        num_hot_edges=int(in_hot.sum()),
+        num_diag_edges=int(in_diag.sum()),
+        num_res_edges=int(in_res.sum()),
+        num_res_slots=len(res_dst),
     )
-    hg1 = _build_hybrid_once(graph, **kwargs)
-    if not two_pass:
-        return hg1
-    # node order induced by pass 1 (old id -> new id, gaps removed)
-    rows1 = hg1.pad_pos[hg1.perm]
-    order_perm = np.empty(graph.num_nodes, dtype=np.int64)
-    order_perm[np.argsort(rows1, kind="stable")] = np.arange(graph.num_nodes)
-    g2 = graph.apply_permutation(order_perm)
-    kwargs["cold_mode"] = hg1.cold_mode  # keep pass-1's mode decision
-    hg2 = _build_hybrid_once(g2, **kwargs)
-    # compose: callers address nodes by ORIGINAL ids through hg2.perm
-    return dataclasses.replace(hg2, perm=order_perm[hg2.perm])
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return -(-x // m) * m

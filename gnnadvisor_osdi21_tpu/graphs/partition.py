@@ -48,8 +48,8 @@ class NeighborGroups:
 
     @property
     def padding_waste(self) -> float:
-        """Fraction of part_cols slots that are padding — the decider uses
-        this to judge whether the chosen partSize wastes bandwidth."""
+        """Fraction of part_cols slots that are padding (diagnostic,
+        printed by verbose benches)."""
         total = self.part_cols.size
         valid = int(self.part_lens.sum())
         return 1.0 - valid / max(total, 1)

@@ -1,19 +1,33 @@
-"""Device-side hybrid hot/cold aggregation (see graphs/hybrid.py for the
-layout rationale and the measured TPU cost model it optimizes).
+"""Device-side hybrid diagonal/hot/residual aggregation (see
+graphs/hybrid.py for the layout rationale and the measured TPU cost model
+it optimizes).
 
-``HybridTensors`` is the device pytree; ``hybrid_aggregate`` is the forward
-kernel: hot bit-slab MXU matmul (Pallas on TPU, unpacked-XLA elsewhere) +
-per-bucket block-packed gathers with c×c-bit mask matmuls, concatenated —
-zero scatters.
+``HybridTensors`` is the device pytree; ``hybrid_aggregate`` is the
+forward kernel:
 
-All arrays live in the padded row space [num_rows]; models run entirely in
+- diagonal tier: per-row-block Pallas bit-slab matmul against the block's
+  own contiguous x slice (zero gathers),
+- hot tier: Pallas bit-slab matmul against the gathered ``x[hot_ids]``
+  table (one tiny K-row gather),
+- residual tier: per-edge gather + batched one-hot MXU einsum + ONE
+  fat-row ``segment_sum`` over tiles (scatter cost is per row and tile
+  rows are ``res_ob·D`` wide, so the scatter is ~free).
+
+Zero per-edge scatters anywhere; every reduction is deterministic.  All
+arrays live in the padded row space [num_rows]; models run entirely in
 that space and the loss masks padding rows out.
+
+Kernel geometry (``block_rows``, ``feature_tile``) comes from the decider
+(tuner/decider.py) — the warpPerBlock/sharedMem and dimWorker analogs —
+and is per-layer meta on the pytree, so the two GCN layers can run the
+same layout with different geometry (the set_input/set_hidden analog,
+param.py:122-141).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +39,22 @@ from gnnadvisor_osdi21_tpu.graphs.hybrid import HybridGraph
 class HybridTensors:
     degrees: jax.Array  # [R] f32
     row_mask: jax.Array  # [R] f32
+    diag_bits: Optional[jax.Array]  # [R, B/32] uint32 or None
     hot_bits: Optional[jax.Array]  # [R, K/32] uint32 or None
     hot_ids: Optional[jax.Array]  # [K] int32 or None
-    block_dst: Tuple[jax.Array, ...]  # per bucket [np, w] int32 dst-pack ids
-    block_mask: Tuple[jax.Array, ...]  # per bucket [np, w, c] uint32
-    # static
+    res_dst: Optional[jax.Array]  # [M_pad] int32 or None
+    res_seg: Optional[jax.Array]  # [M_pad] int32 (res_ob on pad slots)
+    res_t2b: Optional[jax.Array]  # [T] int32 tile -> out-block
+    # static layout
     num_rows: int = 0
     real_nodes: int = 0
-    pack_c: int = 1
+    diag_b: int = 0
     hot_k: int = 0
-    bucket_packs: Tuple[int, ...] = ()
-    cold_mode: str = "node"
-    agg_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
+    res_tile: int = 128
+    res_ob: int = 256
+    # static kernel geometry (decider-owned, per layer)
+    block_rows: int = 512
+    feature_tile: int = 128
 
     @property
     def method(self) -> str:
@@ -46,49 +64,103 @@ class HybridTensors:
 jax.tree_util.register_dataclass(
     HybridTensors,
     data_fields=[
-        "degrees",
-        "row_mask",
-        "hot_bits",
-        "hot_ids",
-        "block_dst",
-        "block_mask",
+        "degrees", "row_mask", "diag_bits", "hot_bits", "hot_ids",
+        "res_dst", "res_seg", "res_t2b",
     ],
     meta_fields=[
-        "num_rows", "real_nodes", "pack_c", "hot_k", "bucket_packs",
-        "cold_mode", "agg_dtype",
+        "num_rows", "real_nodes", "diag_b", "hot_k", "res_tile", "res_ob",
+        "block_rows", "feature_tile",
     ],
 )
 
 
 def build_hybrid_tensors(
-    hg: HybridGraph, device=None, agg_dtype: str = "float32"
+    hg: HybridGraph,
+    device=None,
+    block_rows: int = 512,
+    feature_tile: int = 128,
 ) -> HybridTensors:
     put = lambda a: jax.device_put(jnp.asarray(a), device)
+    has_res = hg.res_dst.size > 0
     return HybridTensors(
         degrees=put(hg.degrees),
         row_mask=put(hg.row_mask),
+        diag_bits=put(hg.diag_bits) if hg.diag_b else None,
         hot_bits=put(hg.hot_bits) if hg.hot_k else None,
         hot_ids=put(hg.hot_ids) if hg.hot_k else None,
-        block_dst=tuple(put(b.block_dst) for b in hg.buckets),
-        block_mask=tuple(put(b.block_mask) for b in hg.buckets),
+        res_dst=put(hg.res_dst) if has_res else None,
+        res_seg=put(hg.res_seg) if has_res else None,
+        res_t2b=put(hg.res_t2b) if has_res else None,
         num_rows=hg.num_rows,
         real_nodes=hg.real_nodes,
-        pack_c=hg.pack_c,
+        diag_b=hg.diag_b,
         hot_k=hg.hot_k,
-        bucket_packs=tuple(b.num_packs for b in hg.buckets),
-        cold_mode=hg.cold_mode,
-        agg_dtype=agg_dtype,
+        res_tile=hg.res_tile,
+        res_ob=hg.res_ob,
+        block_rows=_sanitize_block_rows(block_rows, hg.diag_b),
+        feature_tile=feature_tile,
     )
 
 
+def with_geometry(
+    ht: HybridTensors, block_rows: int, feature_tile: int
+) -> HybridTensors:
+    """Same layout (shared device arrays), different kernel geometry —
+    the per-layer set_input/set_hidden analog."""
+    br = _sanitize_block_rows(block_rows, ht.diag_b)
+    if br == ht.block_rows and feature_tile == ht.feature_tile:
+        return ht
+    return dataclasses.replace(ht, block_rows=br, feature_tile=feature_tile)
+
+
+def _sanitize_block_rows(block_rows: int, diag_b: int) -> int:
+    """Clamp to a power of two in [64, 512]: always divides num_rows
+    (a multiple of 512) and any diag block (512·2^k)."""
+    b = 64
+    while b * 2 <= min(block_rows, 512):
+        b *= 2
+    return b
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _diag_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
+    """Block-diagonal tier: one slab matmul per row block, block-local x."""
+    from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+    if _on_tpu():
+        return spmm_pallas.diag_slab_matmul(
+            ht.diag_bits, x, ht.diag_b,
+            block_rows=ht.block_rows, feature_tile=ht.feature_tile,
+        ).astype(x.dtype)
+    # Reference path (CPU tests): explicit unpack, same bit-major layout.
+    b = ht.diag_b
+    nb = ht.num_rows // b
+    w32 = b // 32
+    j = jnp.arange(b)
+    a = ((ht.diag_bits[:, j % w32] >> (j // w32).astype(jnp.uint32)) & 1).astype(
+        x.dtype
+    )
+    return jnp.einsum(
+        "gbc,gcd->gbd",
+        a.reshape(nb, b, b),
+        x.reshape(nb, b, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(ht.num_rows, -1).astype(x.dtype)
+
+
 def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
-    """out_hot = unpack(hot_bits) @ x[hot_ids] — MXU path."""
+    """Hot tier: out = unpack(hot_bits) @ x[hot_ids] — global-table MXU."""
     from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
     x_hot = jnp.take(x, ht.hot_ids, axis=0)  # [K, D], tiny
-    if jax.default_backend() in ("tpu", "axon"):
-        return spmm_pallas.hot_slab_matmul(ht.hot_bits, x_hot)
-    # Reference path (CPU tests): explicit unpack, same bit-major layout.
+    if _on_tpu():
+        return spmm_pallas.hot_slab_matmul(
+            ht.hot_bits, x_hot,
+            block_rows=ht.block_rows, feature_tile=ht.feature_tile,
+        ).astype(x.dtype)
     k = ht.hot_k
     w32 = k // 32
     j = jnp.arange(k)
@@ -98,56 +170,49 @@ def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
     return a @ x_hot
 
 
-def _cold_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
-    """Per-bucket block gather + bitmask reduction (zero scatters).
-
-    "pack" mode: c×c blocks, einsum over (slot, dst-offset) — max dedup.
-    "node" mode: c×1 blocks, one c-bit word broadcast across lane groups —
-    the mask costs ~1 native VPU op per gathered row (the lane dimension
-    stays at the native c·D width through every heavy op).
-    """
-    c = ht.pack_c
+def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
+    """Residual tier: gather slots, one-hot-combine per tile on the MXU,
+    flush with one fat-row segment_sum (pad slots carry seg == res_ob,
+    which one-hot-matches nothing)."""
     d = x.shape[1]
-    xp = x.reshape(ht.num_rows // c, c * d)
-    outs = []
-    if ht.cold_mode == "pack":
-        off = jnp.arange(c, dtype=jnp.uint32)[None, None, None, :]
-        for bd, bm, npk in zip(ht.block_dst, ht.block_mask, ht.bucket_packs):
-            w = bd.shape[1]
-            rows = jnp.take(xp, bd.reshape(-1), axis=0).reshape(npk, w, c, d)
-            bits = ((bm[:, :, :, None] >> off) & 1).astype(x.dtype)  # [np,w,i,j]
-            out = jnp.einsum(
-                "pwij,pwjd->pid", bits, rows, preferred_element_type=jnp.float32
-            )
-            outs.append(out.reshape(npk * c, d).astype(x.dtype))
-    else:  # node
-        group = (jnp.arange(c * d, dtype=jnp.uint32) // d)[None, None, None, :]
-        for bd, bm, npk in zip(ht.block_dst, ht.block_mask, ht.bucket_packs):
-            w = bd.shape[2]
-            rows = jnp.take(xp, bd.reshape(-1), axis=0).reshape(npk, c, w, c * d)
-            m = ((bm[:, :, :, None] >> group) & 1).astype(x.dtype)
-            s = (rows * m).sum(axis=2, dtype=jnp.float32)  # [np, c, c*d]
-            out = s.reshape(npk, c, c, d).sum(axis=2)
-            outs.append(out.reshape(npk * c, d))
-    return jnp.concatenate(outs, axis=0)
+    t = ht.res_t2b.shape[0]
+    rows = jnp.take(x, ht.res_dst, axis=0).reshape(t, ht.res_tile, d)
+    oh = (
+        ht.res_seg.reshape(t, ht.res_tile)[:, :, None]
+        == jnp.arange(ht.res_ob, dtype=jnp.int32)[None, None, :]
+    ).astype(x.dtype)
+    chunks = jnp.einsum(
+        "tso,tsd->tod", oh, rows, preferred_element_type=jnp.float32
+    )  # [T, OB, D]
+    n_blocks = ht.num_rows // ht.res_ob
+    flat = chunks.reshape(t, ht.res_ob * d)
+    blocks = jax.ops.segment_sum(
+        flat, ht.res_t2b, num_segments=n_blocks, indices_are_sorted=True
+    )
+    return blocks.reshape(ht.num_rows, d).astype(x.dtype)
 
 
 def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:
-    """out[s] = Σ_{d∈N(s)} w_sd · x[d] over the hybrid layout.
+    """out[s] = Σ_{d∈N(s)} w_sd · x[d] over the three-tier layout.
 
     GCN weighting (``norm``): pre-scale x rows by sqrt-degree, post-scale
-    output rows — both dense — so neither path touches per-edge weights
+    output rows — both dense — so no tier touches per-edge weights
     (the degree product factors: deg[s]·deg[d]·x[d] = deg[s]·(deg·x)[d]).
     """
     out_dtype = x.dtype
     if norm:
         x = x * ht.degrees[:, None].astype(x.dtype)
-    # Optionally run the memory-bound gather paths at bf16 (accumulation
-    # stays f32): halves HBM bytes on the dominant cost.
-    x = x.astype(ht.agg_dtype)
-    out = _cold_aggregate(x, ht)
+    out = None
+    if ht.diag_b:
+        out = _diag_aggregate(x, ht)
     if ht.hot_k:
-        out = out + _hot_aggregate(x, ht).astype(out.dtype)
+        h = _hot_aggregate(x, ht)
+        out = h if out is None else out + h
+    if ht.res_dst is not None:
+        r = _residual_aggregate(x, ht)
+        out = r if out is None else out + r
+    if out is None:
+        out = jnp.zeros_like(x)
     if norm:
         out = out * ht.degrees[:, None].astype(out.dtype)
     return out.astype(out_dtype)

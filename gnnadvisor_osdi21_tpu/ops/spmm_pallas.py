@@ -1,20 +1,34 @@
-"""Pallas TPU kernels for the hot-path bit-slab SpMM.
+"""Pallas TPU bit-slab matmul kernels for the hybrid aggregation tiers.
 
-``hot_slab_matmul``: computes ``out = unpack_bits(A_bits) @ x_hot`` where
-``A_bits[R, K/32]`` holds one bit per (node row, hot column) adjacency and
-``x_hot[K, D]`` is the hot-node feature table.  This is the MXU
-re-expression of the reference's warp-level aggregation for high-in-degree
-neighbors (GNNAdvisor_kernel.cu:324-415): instead of thousands of warps
-gathering the same hub features through HBM, every grid step
+``slab_matmul`` computes ``out = unpack_bits(A_bits) @ X`` where
+``A_bits[R, K/32]`` holds one adjacency bit per (output row, slab column).
+Two wirings share the kernel body:
 
-1. DMAs a ``[TR, K/32]`` uint32 tile of the slab into VMEM (the only HBM
-   traffic that scales with the graph: K/8 bytes per node),
-2. unpacks it to a ``[TR, K]`` bf16 0/1 matrix with two vector ops
+- **hot** (``table_block_rows=None``): every grid row-block multiplies
+  against the same global table ``x[K, D]`` (the gathered hot-node
+  features).  One tiny K-row gather replaces millions of per-edge hub
+  gathers.
+- **diagonal** (``table_block_rows=B``): slab columns are *local* to the
+  ``B``-row block the output row lives in, and the x operand for grid step
+  ``i`` is the matching contiguous slice ``x[blk*B:(blk+1)*B]`` — zero
+  gathers; community reordering packs edges into these blocks.
+
+This is the MXU re-expression of the reference's warp-level aggregation
+(GNNAdvisor_kernel.cu:324-415): instead of warps gathering neighbor rows
+through HBM and flushing with ``atomicAdd_F`` (:12-17), every grid step
+
+1. DMAs a ``[block_rows, K/32]`` uint32 slab tile into VMEM (the only HBM
+   traffic that scales with the graph: K/8 bytes per row),
+2. unpacks it to a ``[block_rows, K]`` 0/1 f32 matrix with two vector ops
    (lane-repeat + shift/mask — no HBM traffic),
-3. multiplies against the VMEM-resident ``x_hot`` on the MXU.
+3. multiplies against the VMEM-resident x tile on the MXU (f32: the 0/1
+   values and the sums are exact, so results match the oracle bitwise
+   modulo addition order).
 
-No atomics, no gathers, fully deterministic.  The cold tail of the degree
-distribution goes through the packed-gather path (ops/hybrid_agg.py).
+No atomics, no gathers, fully deterministic.  The kernel geometry
+(``block_rows`` rows per grid step — the warpPerBlock/sharedMem analog —
+and ``feature_tile`` lanes per step — the dimWorker analog) is supplied by
+the decider (tuner/decider.py) from the VMEM budget and feature width.
 """
 
 from __future__ import annotations
@@ -27,66 +41,130 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _hot_kernel(bits_ref, shift_ref, xh_ref, out_ref):
-    """One grid step: rows tile of the bit slab x the whole hot table."""
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _slab_kernel(bits_ref, shift_ref, x_ref, out_ref):
+    """One grid step: unpack a rows-tile of the bit slab, dot with x."""
     bits = bits_ref[:]  # [TR, W32] uint32
-    # Bit-major column layout: A column j lives in word j % W32 at bit
+    # Bit-major column layout: column j lives in word j % W32 at bit
     # j // W32 — chosen because pltpu.repeat TILES its input, so one
     # repeat + one shift unpacks the whole slab tile.  The shift row
     # (j // W32) is a precomputed input: no per-element iota/division.
-    words = pltpu.repeat(bits, 32, axis=1)  # [TR, K], words[:, j] = bits[:, j % w32]
+    words = pltpu.repeat(bits, 32, axis=1)  # [TR, K]
     bit = (words >> shift_ref[:]) & 1
     # 0/1 uint32 -> f32 without int casts: 1.0f is 0x3F800000, so a single
     # integer multiply + bitcast materializes the float matrix.
-    a = pltpu.bitcast(bit * jnp.uint32(0x3F800000), jnp.float32).astype(
-        jnp.bfloat16
-    )
-    out_ref[:] = jnp.dot(
-        a, xh_ref[:], preferred_element_type=jnp.float32
-    )
+    a = pltpu.bitcast(bit * jnp.uint32(0x3F800000), jnp.float32)
+    out_ref[:] = jnp.dot(a, x_ref[:], preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def hot_slab_matmul(
-    bits: jax.Array,  # [R, K/32] uint32
-    x_hot: jax.Array,  # [K, D] float32/bf16
+@functools.partial(
+    jax.jit,
+    static_argnames=("table_block_rows", "block_rows", "feature_tile", "interpret"),
+)
+def slab_matmul(
+    bits: jax.Array,  # [R, K/32] uint32, bit-major
+    x: jax.Array,  # [K, D] (hot) or [R, D] (diagonal) float32
+    table_block_rows: int | None = None,
     block_rows: int = 512,
+    feature_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[R, D] f32 = unpack(bits) @ x_hot."""
+    """out[R, D] f32 = unpack(bits) @ x (global or block-local table)."""
     r, w32 = bits.shape
-    k, d = x_hot.shape
-    assert k == w32 * 32, f"bit slab K={w32 * 32} != x_hot rows {k}"
+    k = w32 * 32
+    t, d = x.shape
+    if table_block_rows is None:
+        assert t == k, f"hot table rows {t} != slab K {k}"
+    else:
+        assert table_block_rows == k, f"diag block {table_block_rows} != slab K {k}"
+        assert t == r, f"diag x rows {t} != slab rows {r}"
+        assert table_block_rows % block_rows == 0, (
+            f"block_rows {block_rows} must divide diag block {table_block_rows}"
+        )
     assert r % block_rows == 0, f"rows {r} not a multiple of {block_rows}"
-    grid = (r // block_rows,)
+
+    # Lane tiling (the dimWorker analog): td lanes per grid step.  Mosaic
+    # requires block lane dims to be multiples of 128 or equal to the full
+    # array dim, so narrow features run as one full-width tile and wide
+    # features tile at a 128-multiple derived from ``feature_tile``.
+    dp8 = _round_up(max(d, 1), 8)
+    if dp8 <= max(feature_tile, 128):
+        td = dp = dp8
+    else:
+        td = _round_up(feature_tile, 128)
+        dp = _round_up(d, td)
+    if dp != d:
+        x = jnp.pad(x, ((0, 0), (0, dp - d)))
+    grid = (r // block_rows, dp // td)
+
+    if table_block_rows is None:
+        x_index = lambda i, j: (0, j)
+    else:
+        blocks_per_diag = table_block_rows // block_rows
+        x_index = lambda i, j: (i // blocks_per_diag, j)
+
     shift_row = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[None, :]
-    return pl.pallas_call(
-        _hot_kernel,
-        out_shape=jax.ShapeDtypeStruct((r, d), jnp.float32),
+    out = pl.pallas_call(
+        _slab_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, dp), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (block_rows, w32), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (block_rows, w32), lambda i, j: (i, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, td), x_index, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, td), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * r * k * d,
-            bytes_accessed=r * w32 * 4 + k * d * 4 + r * d * 4,
+            flops=2 * r * k * dp,
+            bytes_accessed=r * w32 * 4 * (dp // td) + t * dp * 4 + r * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bits, shift_row, x_hot.astype(jnp.bfloat16))
+    )(bits, shift_row, x.astype(jnp.float32))
+    return out[:, :d] if dp != d else out
+
+
+def hot_slab_matmul(
+    bits: jax.Array,
+    x_hot: jax.Array,
+    block_rows: int = 512,
+    feature_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[R, D] = unpack(bits) @ x_hot — global-table wiring."""
+    return slab_matmul(
+        bits, x_hot, table_block_rows=None, block_rows=block_rows,
+        feature_tile=feature_tile, interpret=interpret,
+    )
+
+
+def diag_slab_matmul(
+    bits: jax.Array,
+    x: jax.Array,
+    diag_b: int,
+    block_rows: int = 512,
+    feature_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[R, D] = blockdiag-unpack(bits) @ x — block-local-table wiring."""
+    return slab_matmul(
+        bits, x, table_block_rows=diag_b,
+        block_rows=min(block_rows, diag_b), feature_tile=feature_tile,
+        interpret=interpret,
+    )
 
 
 def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):
-    """Host-side slab builder: set bit for each (row, hot-column) pair using
+    """Host-side slab builder: set bit for each (row, column) pair using
     the kernel's bit-major layout (column j → word j % (K/32), bit j // (K/32))."""
     import numpy as np
 
@@ -107,9 +185,3 @@ def unpack_slab(bits: "np.ndarray", k: int):
     return (
         (bits[:, j % w32] >> (j // w32).astype(np.uint32)) & np.uint32(1)
     ).astype(np.float32)
-
-
-def hot_slab_matmul_auto(bits: jax.Array, x_hot: jax.Array) -> jax.Array:
-    """Dispatch: Pallas on TPU, interpreter elsewhere (tests on CPU)."""
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    return hot_slab_matmul(bits, x_hot, interpret=interpret)

@@ -122,6 +122,8 @@ def train_and_time(
     seed: int = 0,
     mask: jax.Array | None = None,
     use_scan: bool = True,
+    save_ckpt: str | None = None,
+    resume: str | None = None,
 ) -> dict:
     """Run the reference timing protocol; returns timings + final loss.
 
@@ -130,12 +132,23 @@ def train_and_time(
     Fences are host scalar fetches, not ``block_until_ready`` — on
     tunneled/async platforms the latter is not a reliable completion fence
     (utils/timing.py discussion).
+
+    ``save_ckpt``/``resume`` persist/restore (params, opt_state, step) —
+    a new capability over the reference's 200-epoch throwaway runs
+    (SURVEY.md §5 'Checkpoint / resume').
     """
     params, apply_fn = build_model(
         model, jax.random.PRNGKey(seed), x.shape[1], hidden, num_classes
     )
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if resume:
+        from gnnadvisor_osdi21_tpu.utils.checkpoint import load_checkpoint
+
+        params, opt_state, start_step = load_checkpoint(
+            resume, params, opt_state
+        )
 
     if use_scan:
         warm = make_epoch_scan(apply_fn, gts, optimizer, dry_run, mask=mask)
@@ -164,11 +177,20 @@ def train_and_time(
         final_loss = float(loss)
         train_s = time.perf_counter() - start
 
+    final_step = start_step + dry_run + num_epochs
+    if save_ckpt:
+        from gnnadvisor_osdi21_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(save_ckpt, params, opt_state, step=final_step)
+
     return {
         "epoch_ms": train_s * 1e3 / num_epochs,
         "warmup_s": warmup_s,
         "final_loss": final_loss,
         "num_epochs": num_epochs,
+        "step": final_step,
+        "params": params,
+        "opt_state": opt_state,
     }
 
 

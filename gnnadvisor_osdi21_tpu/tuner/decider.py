@@ -17,13 +17,21 @@ The TPU analog keeps the same decision structure but targets TPU resources:
   extremely skewed degree distributions where ELL padding would waste
   bandwidth.
 - ``part_size``       — neighbor-group width, from avg degree, clamped and
-  rounded to sublane-friendly sizes (the partSize analog).
-- ``feature_tile``    — lane-dimension tile ``min(round_up(dim, 8), 128)``
-  (the dimWorker analog: 128 lanes instead of 32 threads).
-- ``block_parts``     — part rows per Pallas grid step, from a VMEM budget
-  (the warpPerBlock/sharedMem analog: VMEM is the shared-memory analog).
+  rounded to sublane-friendly sizes (the partSize analog; drives the ELL
+  path).
+- ``diag_b``/``hot_k`` — the hybrid layout's tier sizes, from the measured
+  cost model over the graph's degree/locality structure
+  (graphs/hybrid.py:choose_tiers) — the partSize analog for the tuned path.
+- ``feature_tile``    — lanes per Pallas grid step ``min(round_up(dim, 8),
+  128)`` (the dimWorker analog: 128 lanes instead of 32 threads); drives
+  the slab kernels' lane tiling.
+- ``block_parts``     — slab rows per Pallas grid step, from the VMEM
+  budget (the warpPerBlock/sharedMem analog: VMEM is the shared-memory
+  analog); drives the slab kernels' row tiling.
 - per-layer configs: the input layer sees ``dim`` features, hidden layers
-  see ``hidden`` — same split as set_input/set_hidden.
+  see ``hidden`` — same split as set_input/set_hidden.  The hybrid layout
+  itself is feature-free, so both layers share the device arrays and only
+  the kernel geometry differs.
 
 Manual mode passes user parameters straight through, as in the reference.
 """
@@ -39,13 +47,13 @@ from gnnadvisor_osdi21_tpu.graphs.partition import build_neighbor_groups
 from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
 
 # TPU resource model (v5e-class defaults).
-VMEM_BUDGET_BYTES = 16 * 1024 * 1024  # per-core VMEM (the sharedMem analog)
-VMEM_FRACTION = 0.4  # same safety fraction the reference applies (param.py:45)
+VMEM_BUDGET_BYTES = 16 * 1024 * 1024  # per-core scoped VMEM (sharedMem analog)
+VMEM_FRACTION = 0.9  # headroom fraction (the param.py:45 analog; Mosaic
+# already double-buffers inside the accounted budget below)
 LANE_WIDTH = 128
 SUBLANE = 8
-MAX_BLOCK_PARTS = 1024  # MAX_warpPerBlock analog: cap on rows per grid step
+MAX_BLOCK_PARTS = 512  # cap on slab rows per grid step (power of two)
 DENSE_MAX_NODES = 4096  # above this, an N×N adjacency stops being a win
-ELL_MAX_WASTE = 0.75  # fall back to COO when padding waste exceeds this
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,7 +87,8 @@ class InputProperty:
         block_parts: Optional[int] = None,
         vmem_budget: int = VMEM_BUDGET_BYTES,
         method: Optional[str] = None,
-        pack_c: Optional[int] = None,
+        hot_k: Optional[int] = None,
+        diag_b: Optional[int] = None,
         model: str = "gcn",
         enable_reorder: bool = False,
         manual_mode: bool = False,
@@ -93,7 +102,8 @@ class InputProperty:
         self.block_parts = block_parts
         self.vmem_budget = int(vmem_budget * VMEM_FRACTION)
         self.method = method
-        self.pack_c = pack_c
+        self.hot_k = hot_k
+        self.diag_b = diag_b
         self.model = model
         self.enable_reorder = enable_reorder
         self.manual_mode = manual_mode
@@ -138,15 +148,24 @@ class InputProperty:
         # 128-lane width (param.py:96-106 capped at 32 threads).
         return min(_round_up(max(dim, 1), SUBLANE), LANE_WIDTH)
 
-    def _auto_block_parts(self, part_size: int, dim: int) -> int:
-        # warpPerBlock analog: how many part rows one kernel block stages in
-        # VMEM.  Per part row we hold: ids (S·4B), gathered features
-        # (S·dim·4B), and a partial row (dim·4B) — the same three buffers the
-        # CUDA kernel stages in shared memory (GNNAdvisor_kernel.cu:345-347).
-        bytes_per_part = part_size * 4 + part_size * dim * 4 + dim * 4
-        n = self.vmem_budget // max(bytes_per_part, 1)
-        n = max(SUBLANE, min(n, MAX_BLOCK_PARTS))
-        return _round_up(n, SUBLANE)
+    def _auto_block_parts(self, slab_k: int, dim: int) -> int:
+        # warpPerBlock/sharedMem analog: slab rows one Pallas grid step
+        # stages in VMEM.  Accounted per step: the unpacked 0/1 f32 matrix
+        # (rows·K·4 — the dominant scratch), double-buffered slab bits
+        # (2·rows·K/8), x tile (2·K·td·4), out tile (2·rows·td·4) — the
+        # analog of the CUDA kernel's three shared-memory buffers
+        # (GNNAdvisor_kernel.cu:345-347).  Power of two so it divides both
+        # the padded row count and any diagonal block.
+        if slab_k <= 0:
+            return MAX_BLOCK_PARTS
+        td = self._auto_feature_tile(dim)
+        budget = self.vmem_budget - 2 * slab_k * td * 4
+        per_row = slab_k * 4 + slab_k // 4 + td * 8
+        n = max(budget, 0) // per_row
+        b = 64
+        while b * 2 <= min(n, MAX_BLOCK_PARTS):
+            b *= 2
+        return b
 
     def _should_reorder(self) -> bool:
         # Same heuristic as param.py:110.
@@ -157,44 +176,19 @@ class InputProperty:
 
     def decider(self) -> "InputProperty":
         """Fill per-layer configs; manual mode passes user params through
-        (param.py:58-70), auto mode derives them from graph stats."""
+        (param.py:58-70), auto mode derives them from graph stats.
+
+        Order matters: reorder first (param.py:110), because the hybrid
+        tier choice (diag_b) measures post-reorder locality."""
         if self.manual_mode:
             method = self.method or "ell"
             ps = self.part_size or 32
             if self.enable_reorder:
                 self.reorder_status = True
-            self.layer_input = LayerConfig(
-                method=method,
-                part_size=ps,
-                feature_tile=self.feature_tile or self._auto_feature_tile(self.input_dim),
-                block_parts=self.block_parts or self._auto_block_parts(ps, self.input_dim),
-                feature_dim=self.input_dim,
-            )
-            self.layer_hidden = LayerConfig(
-                method=method,
-                part_size=ps,
-                feature_tile=self.feature_tile or self._auto_feature_tile(self.hidden_dim),
-                block_parts=self.block_parts or self._auto_block_parts(ps, self.hidden_dim),
-                feature_dim=self.hidden_dim,
-            )
         else:
             method = self.method or self._auto_method()
             ps = self.part_size or self._auto_part_size()
             self.part_size = ps
-            self.layer_input = LayerConfig(
-                method=method,
-                part_size=ps,
-                feature_tile=self._auto_feature_tile(self.input_dim),
-                block_parts=self._auto_block_parts(ps, self.input_dim),
-                feature_dim=self.input_dim,
-            )
-            self.layer_hidden = LayerConfig(
-                method=method,
-                part_size=ps,
-                feature_tile=self._auto_feature_tile(self.hidden_dim),
-                block_parts=self._auto_block_parts(ps, self.hidden_dim),
-                feature_dim=self.hidden_dim,
-            )
             if self.enable_reorder:
                 self.reorder_status = self._should_reorder()
 
@@ -203,10 +197,47 @@ class InputProperty:
 
             self.graph = reorder_mod.rabbit_reorder_graph(self.graph)
 
+        slab_k = 0
+        if method == "hybrid":
+            import numpy as np
+
+            from gnnadvisor_osdi21_tpu.graphs.hybrid import choose_tiers
+
+            g = self.graph
+            src = np.repeat(
+                np.arange(g.num_nodes, dtype=np.int64),
+                np.diff(np.asarray(g.row_pointers, dtype=np.int64)),
+            )
+            self.diag_b, self.hot_k = choose_tiers(
+                src,
+                np.asarray(g.column_index, dtype=np.int64),
+                g.num_nodes,
+                hot_k=self.hot_k,
+                diag_b=self.diag_b,
+            )
+            slab_k = max(self.diag_b, self.hot_k)
+
+        def layer(dim: int) -> LayerConfig:
+            if self.manual_mode:
+                ft = self.feature_tile or self._auto_feature_tile(dim)
+                bp = self.block_parts or self._auto_block_parts(slab_k, dim)
+            else:
+                ft = self._auto_feature_tile(dim)
+                bp = self._auto_block_parts(slab_k, dim)
+            return LayerConfig(
+                method=method, part_size=ps, feature_tile=ft,
+                block_parts=bp, feature_dim=dim,
+            )
+
+        self.layer_input = layer(self.input_dim)
+        self.layer_hidden = layer(self.hidden_dim)
+
         if self.verbose:
             mode = "MANUAL" if self.manual_mode else "AUTO"
             print(f"# {mode} input  layer: {self.layer_input}")
             print(f"# {mode} hidden layer: {self.layer_hidden}")
+            if method == "hybrid":
+                print(f"# hybrid tiers: diag_b={self.diag_b} hot_k={self.hot_k}")
             print(f"# reorder: {self.reorder_status}")
         return self
 
@@ -221,20 +252,22 @@ class InputProperty:
         li, lh = self.layer_input, self.layer_hidden
         if li.method == "hybrid":
             from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid
-            from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
-
-            # pack width follows the smallest dim the model aggregates at:
-            # GCN is GEMM-then-aggregate (hidden/classes, §3.1); GIN is
-            # aggregate-then-GEMM (input/hidden, §3.2).
-            if self.model == "gin":
-                agg_dim = min(self.input_dim, self.hidden_dim)
-            else:
-                agg_dim = min(self.hidden_dim, max(self.graph.num_classes, 1))
-            self.hybrid_graph = build_hybrid(
-                self.graph, pack_c=self.pack_c, feature_dim=agg_dim
+            from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
+                build_hybrid_tensors, with_geometry,
             )
-            gt = build_hybrid_tensors(self.hybrid_graph, device=device)
-            return gt, gt
+
+            # The layout is feature-free (tier choice happened in decider);
+            # both layers share the device arrays, each with its own kernel
+            # geometry (the set_input/set_hidden analog, param.py:122-141).
+            self.hybrid_graph = build_hybrid(
+                self.graph, hot_k=self.hot_k, diag_b=self.diag_b
+            )
+            gt_in = build_hybrid_tensors(
+                self.hybrid_graph, device=device,
+                block_rows=li.block_parts, feature_tile=li.feature_tile,
+            )
+            gt_hid = with_geometry(gt_in, lh.block_parts, lh.feature_tile)
+            return gt_in, gt_hid
         groups = None
         if li.method == "ell":
             groups = build_neighbor_groups(

@@ -63,7 +63,14 @@ class Verification:
         return False
 
     def profile_spmm(self, rounds: int = 200) -> float:
-        """Average SpMM kernel ms over ``rounds`` (unitest.py:65-80)."""
+        """Average SpMM kernel ms over ``rounds`` (unitest.py:65-80).
+
+        The reference times 200 individually-launched rounds; here the
+        rounds are chained inside one compiled loop (the only reliable
+        fence over the tunneled device, utils/timing.py), so 50 chained
+        iterations already give a stable per-iteration mean and larger
+        ``rounds`` values are capped to bound wall time.
+        """
         import jax.numpy as jnp
 
         from gnnadvisor_osdi21_tpu.ops.aggregate import sag

@@ -30,7 +30,7 @@ def _check_all_paths(g, dim=8):
         gt = build_graph_tensors(g, method=method, part_size=2)
         got = np.asarray(sag(jnp.asarray(x), gt))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=method)
-    hg = build_hybrid(g, pack_c=4, hot_k=0)
+    hg = build_hybrid(g, hot_k=0)
     ht = build_hybrid_tensors(hg)
     got = hg.unpad_array(np.asarray(sag(jnp.asarray(hg.pad_array(x)), ht)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg="hybrid")
@@ -64,7 +64,7 @@ def test_hybrid_with_hot_on_star():
     src = list(range(1, n)) + [0]
     dst = [0] * (n - 1) + [1]
     g = _graph(src, dst, n)
-    hg = build_hybrid(g, pack_c=4, hot_k=512)
+    hg = build_hybrid(g, hot_k=512, diag_b=0)
     ht = build_hybrid_tensors(hg)
     rng = np.random.default_rng(1)
     x = rng.standard_normal((n, 8), dtype=np.float32)

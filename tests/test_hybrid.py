@@ -1,36 +1,53 @@
-"""Hybrid hot/cold layout + aggregation tests (vs the COO oracle)."""
+"""Hybrid diag/hot/residual layout + aggregation tests (vs the COO oracle)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid, choose_hot_k
+from gnnadvisor_osdi21_tpu.graphs.hybrid import (
+    build_hybrid, choose_hot_k, choose_tiers,
+)
 from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
 from gnnadvisor_osdi21_tpu.ops import reference
 from gnnadvisor_osdi21_tpu.ops.aggregate import aggregate, gcn_conv
-from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
+from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
+    build_hybrid_tensors, with_geometry,
+)
+
+
+def _oracle(g, x, norm):
+    src = reference.csr_to_coo(g.row_pointers, g.column_index)
+    if norm:
+        return np.asarray(reference.gcn_aggregate(
+            jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
+            jnp.asarray(g.degrees), g.num_nodes,
+        ))
+    return np.asarray(reference.sag(
+        jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
+        g.num_nodes,
+    ))
 
 
 @pytest.fixture(scope="module", params=["powerlaw", "community"])
 def hybrid_setup(request):
     g = synthesize_graph(3000, 40000, num_features=16, kind=request.param, seed=5)
-    hg = build_hybrid(g, pack_c=8, hot_k=512)
+    hg = build_hybrid(g, hot_k=512, diag_b=512)
     ht = build_hybrid_tensors(hg)
     return g, hg, ht
 
 
+def _popcount(bits):
+    return sum(int(bin(w).count("1")) for w in np.asarray(bits).reshape(-1))
+
+
 def test_layout_accounts_every_edge(hybrid_setup):
     g, hg, _ = hybrid_setup
-    hot_bits_set = sum(int(bin(w).count("1")) for w in hg.hot_bits.reshape(-1))
-    cold_bits_set = sum(
-        int(bin(w).count("1"))
-        for b in hg.buckets
-        for w in b.block_mask.reshape(-1)
-    )
-    assert hot_bits_set == hg.num_hot_edges
-    assert cold_bits_set == hg.num_cold_edges
-    assert hg.num_hot_edges + hg.num_cold_edges == g.nnz
+    assert _popcount(hg.hot_bits) == hg.num_hot_edges
+    assert _popcount(hg.diag_bits) == hg.num_diag_edges
+    real_slots = int((hg.res_seg < hg.res_ob).sum())
+    assert real_slots == hg.num_res_edges
+    assert hg.num_hot_edges + hg.num_diag_edges + hg.num_res_edges == g.nnz
 
 
 def test_pad_unpad_roundtrip(hybrid_setup):
@@ -43,24 +60,51 @@ def test_hybrid_aggregate_matches_oracle(hybrid_setup):
     g, hg, ht = hybrid_setup
     rng = np.random.default_rng(0)
     x = rng.standard_normal((g.num_nodes, 16), dtype=np.float32)
-    src = reference.csr_to_coo(g.row_pointers, g.column_index)
-
     for norm in (False, True):
-        if norm:
-            want = reference.gcn_aggregate(
-                jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
-                jnp.asarray(g.degrees), g.num_nodes,
-            )
-        else:
-            want = reference.sag(
-                jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
-                g.num_nodes,
-            )
-        xp = jnp.asarray(hg.pad_array(x))
-        out = aggregate(xp, ht, norm)
+        want = _oracle(g, x, norm)
+        out = aggregate(jnp.asarray(hg.pad_array(x)), ht, norm)
         got = hg.unpad_array(np.asarray(out))
-        # hot path runs in bf16 on the MXU: coarser tolerance
-        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-2, atol=2e-2)
+        # all tiers run f32: only addition-order differences remain
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "tiers",
+    [
+        {"hot_k": 0, "diag_b": 0},      # residual only
+        {"hot_k": 512, "diag_b": 0},    # hot + residual
+        {"hot_k": 0, "diag_b": 512},    # diag + residual
+        {"hot_k": 1024, "diag_b": 1024},
+    ],
+)
+def test_each_tier_combination_matches_oracle(tiers):
+    g = synthesize_graph(2500, 30000, num_features=8, kind="community", seed=7)
+    hg = build_hybrid(g, **tiers)
+    assert hg.hot_k == tiers["hot_k"] and hg.diag_b == tiers["diag_b"]
+    ht = build_hybrid_tensors(hg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((g.num_nodes, 8), dtype=np.float32)
+    want = _oracle(g, x, False)
+    got = hg.unpad_array(np.asarray(aggregate(jnp.asarray(hg.pad_array(x)), ht, False)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_geometry_does_not_change_results():
+    """Decider geometry (block_rows / feature_tile) must change kernel
+    tiling only — results stay put (and the meta actually changes)."""
+    g = synthesize_graph(2000, 25000, num_features=8, seed=9)
+    hg = build_hybrid(g, hot_k=512, diag_b=512)
+    ht_a = build_hybrid_tensors(hg, block_rows=512, feature_tile=128)
+    ht_b = with_geometry(ht_a, 128, 8)
+    assert (ht_b.block_rows, ht_b.feature_tile) == (128, 8)
+    assert ht_b.diag_bits is ht_a.diag_bits  # shared device arrays
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(hg.pad_array(rng.standard_normal((g.num_nodes, 8), dtype=np.float32)))
+    np.testing.assert_allclose(
+        np.asarray(aggregate(x, ht_a, False)),
+        np.asarray(aggregate(x, ht_b, False)),
+        rtol=1e-6, atol=1e-6,
+    )
 
 
 def test_hybrid_gcn_conv_grads(hybrid_setup):
@@ -85,18 +129,16 @@ def test_choose_hot_k_prefers_skew():
     assert k_skew >= k_flat
 
 
-def test_hot_k_zero_is_pure_cold():
-    g = synthesize_graph(1000, 8000, kind="uniform", seed=3)
-    hg = build_hybrid(g, pack_c=8, hot_k=0)
-    ht = build_hybrid_tensors(hg)
-    assert ht.hot_bits is None
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((g.num_nodes, 16), dtype=np.float32)
-    src = reference.csr_to_coo(g.row_pointers, g.column_index)
-    want = reference.sag(
-        jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index), g.num_nodes
-    )
-    out = aggregate(jnp.asarray(hg.pad_array(x)), ht, False)
-    np.testing.assert_allclose(
-        hg.unpad_array(np.asarray(out)), np.asarray(want), rtol=1e-4, atol=1e-4
-    )
+def test_choose_tiers_manual_passthrough():
+    g = synthesize_graph(3000, 20000, seed=4)
+    src = np.repeat(np.arange(g.num_nodes), np.diff(g.row_pointers))
+    assert choose_tiers(src, g.column_index, g.num_nodes,
+                        hot_k=1024, diag_b=2048) == (2048, 1024)
+
+
+def test_choose_tiers_community_picks_diag():
+    """A community graph in community order should earn a diagonal tier."""
+    g = synthesize_graph(20000, 400000, kind="community", seed=6)
+    src = np.repeat(np.arange(g.num_nodes), np.diff(g.row_pointers))
+    diag_b, _ = choose_tiers(src, g.column_index.astype(np.int64), g.num_nodes)
+    assert diag_b > 0

@@ -1,0 +1,72 @@
+"""Interpret-mode tests for the Pallas bit-slab kernels.
+
+Runs the actual kernel body (unpack + MXU dot) through the Pallas
+interpreter on CPU against the ``unpack_slab`` oracle, so a layout bug in
+the bit-major packing or the grid/index maps fails in CI rather than only
+as wrong TPU bench numbers (unitest.py:9-63 analog at the kernel level).
+"""
+
+import numpy as np
+
+from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
+    diag_slab_matmul, hot_slab_matmul, pack_slab_bits, unpack_slab,
+)
+
+
+def _random_slab(rng, r, k, nnz):
+    rows = rng.integers(0, r, nnz)
+    cols = rng.integers(0, k, nnz)
+    return pack_slab_bits(rows, cols, r, k)
+
+
+def test_hot_slab_matmul_interpret_matches_oracle():
+    rng = np.random.default_rng(0)
+    r, k, d = 256, 64, 10  # d=10 exercises the lane-padding path
+    bits = _random_slab(rng, r, k, 800)
+    x = rng.standard_normal((k, d)).astype(np.float32)
+    want = unpack_slab(bits, k) @ x
+    got = np.asarray(hot_slab_matmul(bits, x, block_rows=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_hot_slab_matmul_feature_tiling():
+    rng = np.random.default_rng(1)
+    r, k, d = 128, 96, 300
+    bits = _random_slab(rng, r, k, 600)
+    x = rng.standard_normal((k, d)).astype(np.float32)
+    want = unpack_slab(bits, k) @ x
+    # d=300 > feature_tile=128 forces a 3-step lane grid (128-lane tiles)
+    got = np.asarray(
+        hot_slab_matmul(bits, x, block_rows=64, feature_tile=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_diag_slab_matmul_interpret_matches_oracle():
+    rng = np.random.default_rng(2)
+    r, b, d = 512, 128, 12
+    # block-local columns: row i may only reference cols inside its block
+    rows = rng.integers(0, r, 2000)
+    cols = rng.integers(0, b, 2000)
+    bits = pack_slab_bits(rows, cols, r, b)
+    x = rng.standard_normal((r, d)).astype(np.float32)
+    a = unpack_slab(bits, b)  # [r, b], block-local
+    want = np.concatenate([
+        a[i : i + b] @ x[i : i + b] for i in range(0, r, b)
+    ])
+    got = np.asarray(
+        diag_slab_matmul(bits, x, diag_b=b, block_rows=64, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pack_unpack_roundtrip_bit_major():
+    rng = np.random.default_rng(3)
+    r, k = 64, 96
+    rows = rng.integers(0, r, 300)
+    cols = rng.integers(0, k, 300)
+    bits = pack_slab_bits(rows, cols, r, k)
+    dense = unpack_slab(bits, k)
+    want = np.zeros((r, k), np.float32)
+    want[rows, cols] = 1.0
+    np.testing.assert_array_equal(dense, want)
