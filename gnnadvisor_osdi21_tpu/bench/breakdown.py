@@ -76,7 +76,8 @@ def main(argv=None) -> int:
     r = hg.num_rows
     print(f"layout: rows={r} diag_b={hg.diag_b} hot_k={hg.hot_k} | "
           f"edges diag={hg.num_diag_edges} hot={hg.num_hot_edges} "
-          f"res={hg.num_res_edges} (slots={hg.num_res_slots})")
+          f"res={hg.num_res_edges} (pairs={hg.num_res_pairs} "
+          f"slots={hg.num_res_slots})")
 
     x = jnp.ones((r, dim), dtype=jnp.float32)
 

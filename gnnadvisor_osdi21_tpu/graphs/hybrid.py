@@ -26,12 +26,13 @@ re-derived for TPU economics):
 2. **Hot tier**: the top-K in-degree destinations among off-block edges
    become a global bit slab ``hot_bits[R, K/32]`` against the gathered
    ``x[hot_ids]`` table (K rows, one tiny gather).
-3. **Residual tier**: each remaining edge is one gather slot.  Slots are
-   CSR-ordered (sorted by source row), grouped into ``res_ob``-row output
-   blocks and ``res_tile``-slot tiles; the combine is a batched one-hot
-   einsum (MXU) plus ONE fat-row ``segment_sum`` over tiles — scatter cost
-   is per *row* and tile rows are ``res_ob·D`` wide, so the scatter is
-   ~free.  Pad slots carry ``seg == res_ob`` which one-hot-matches nothing.
+3. **Residual tier**: one gather slot per unique (``res_ob``-row output
+   block, destination) pair — a multi-hot bitmask fans the gathered row
+   out to every block row that wants it, so dedup (measured 1.2-2.1x)
+   directly cuts gather count, the dominant residual cost.  The combine
+   is a batched multi-hot einsum (MXU) plus ONE fat-row ``segment_sum``
+   over tiles — scatter cost is per *row* and tile rows are ``res_ob·D``
+   wide, so the scatter is ~free.  Pad slots carry all-zero masks.
 
 The reference kernels replaced: GNNAdvisor_kernel.cu:324-415 (GCN fwd),
 :186-259 (SAG), :620-689 (GIN) — their warp/atomic decomposition has no
@@ -50,10 +51,16 @@ import numpy as np
 
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 
-# Measured cost-model constants (v5e, bench/fmtprobe.py 2026-08-17).
-SLAB_NS_PER_SLOT = 0.0020  # bit-slab unpack+dot, per (row, column) slot
-GATHER_NS_PER_ROW = 5.0  # XLA take, 300-600k rows
-RESID_COMBINE_NS = 2.0  # one-hot einsum + fat segment_sum, per slot
+# Measured cost-model constants (v5e, bench/fmtprobe.py + slab-law sweep
+# 2026-08-17).  One slab pass over R rows with C total columns costs
+# R·(SLAB_A + SLAB_B·C); the diagonal and hot slabs share one pass
+# (fused_slab_matmul), so SLAB_A is paid once.
+SLAB_A_NS = 4.7  # fixed per-row cost of a slab pass
+SLAB_B_NS = 0.00123  # per (row, column) slot
+GATHER_NS_PER_ROW = 5.0  # XLA take from a <~150k-row table (stage 2)
+GATHER_BIG_NS = 9.4  # XLA take from a >~300k-row table (stage 1)
+RESID_COMBINE_NS = 1.5  # mask unpack + multi-hot einsum + fat segment_sum
+RESID_DEDUP_EST = 1.5  # typical (out-block, dst) sharing; refined exactly
 
 DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096)
 HOT_CANDIDATES = (0, 512, 1024, 2048, 4096)
@@ -80,9 +87,16 @@ class HybridGraph:
     # diagonal tier (0 = disabled)
     diag_b: int
     diag_bits: np.ndarray  # [R, B/32] uint32, bit-major, cols local to block
-    # residual tier (res_dst.size == 0 = disabled)
-    res_dst: np.ndarray  # [M_pad] int32 destination row per slot
-    res_seg: np.ndarray  # [M_pad] int32 src offset in out-block; OB = pad
+    # residual tier (res_dst.size == 0 = disabled).  One slot = one unique
+    # (out-block, destination) pair; the multi-hot mask says which of the
+    # block's res_ob rows it feeds (dedup: one gather serves every edge
+    # sharing the pair).  Gathers are two-stage because XLA's per-row
+    # gather cost roughly doubles on >~200k-row tables (measured): stage 1
+    # compacts the unique destinations into a small table, stage 2 feeds
+    # slots from it.
+    res_gather: np.ndarray  # [Ud] int32 unique destination rows (stage 1)
+    res_dst: np.ndarray  # [M_pad] int32 index into res_gather per slot
+    res_mask: np.ndarray  # [M_pad, res_ob/32] uint32 multi-hot (0 on pads)
     res_t2b: np.ndarray  # [T] int32 out-block of each tile
     res_tile: int
     res_ob: int
@@ -90,6 +104,7 @@ class HybridGraph:
     num_hot_edges: int = 0
     num_diag_edges: int = 0
     num_res_edges: int = 0
+    num_res_pairs: int = 0  # unique (block, dst) pairs
     num_res_slots: int = 0  # including padding
 
     # identity maps kept for API parity with relabeling layouts
@@ -121,14 +136,14 @@ def choose_hot_k(
     slab_ns_per_col: float | None = None,
 ) -> int:
     """Hot-set size from the coverage curve + measured cost model: K slab
-    columns cost ``R·K·SLAB_NS_PER_SLOT`` per SpMM and save
+    columns cost ``R·K·SLAB_B_NS`` per SpMM and save
     ``covered · gather_ns``.  (The param.py:51 decider analog.)"""
     if num_edges == 0 or num_nodes == 0:
         return 0
     per_col = (
         slab_ns_per_col
         if slab_ns_per_col is not None
-        else SLAB_NS_PER_SLOT * num_nodes
+        else SLAB_B_NS * num_nodes
     )
     counts = np.bincount(column_index, minlength=num_nodes)
     csum = np.cumsum(np.sort(counts)[::-1])
@@ -148,53 +163,78 @@ def choose_tiers(
     num_nodes: int,
     hot_k: int | None = None,
     diag_b: int | None = None,
+    res_ob: int = 256,
 ) -> tuple[int, int]:
     """Jointly pick (diag_b, hot_k) minimizing the measured cost
-    ``SLAB·R·(B+K) + (GATHER+COMBINE)·residual(B,K)``.
+    ``R·(SLAB_A + SLAB_B·(B+K)) + (GATHER+COMBINE)·unique_pairs(B,K)``.
 
-    Fixing either parameter (manual mode) restricts the search to the
-    other.  Returns (diag_b, hot_k)."""
+    Two phases: a coarse pass prices the residual with the typical dedup
+    estimate; the top candidates are re-priced with the exact unique
+    (out-block, dst) pair count (the quantity the residual kernel
+    actually pays for).  Fixing either parameter (manual mode) restricts
+    the search to the other; fixing both passes through (param.py:58-70).
+    """
     e = len(src)
     if e == 0:
         return (diag_b or 0, hot_k or 0)
     if diag_b is not None and hot_k is not None:
-        return diag_b, hot_k  # fully manual: pass through (param.py:58-70)
+        return diag_b, hot_k
     res_ns = GATHER_NS_PER_ROW + RESID_COMBINE_NS
     b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
-    best = None
+    cands = []
     for b in b_cands:
         if b and b > _round_up(num_nodes, 512):
             continue
         if b:
             off = src // b != dst // b
-            n_diag = int(e - off.sum())
-            od = dst[off]
+            od, osrc = dst[off], src[off]
         else:
-            n_diag = 0
-            od = dst
+            od, osrc = dst, src
+        n_diag = e - len(od)
         rows = _round_up(max(num_nodes, 1), max(b, 512))
         # hot curve on off-diagonal edges only: hubs that are mostly local
         # do not earn a hot column
         counts = np.bincount(od, minlength=num_nodes)
-        csum = np.cumsum(np.sort(counts)[::-1])
+        order = np.argsort(counts)[::-1]
+        csum = np.cumsum(counts[order])
         k_cands = HOT_CANDIDATES if hot_k is None else (hot_k,)
         for k in k_cands:
             if k > num_nodes and k != (hot_k or 0):
                 continue
-            covered = int(csum[min(k, len(csum)) - 1]) if k else 0
+            kk = min(k, num_nodes)
+            covered = int(csum[kk - 1]) if kk else 0
             resid = e - n_diag - covered
-            cost = SLAB_NS_PER_SLOT * rows * (b + k) + res_ns * resid
-            if best is None or cost < best[2]:
-                best = (b, k, cost)
+            slab = rows * (
+                (SLAB_A_NS if (b or k) else 0.0) + SLAB_B_NS * (b + k)
+            )
+            cost = slab + res_ns * resid / RESID_DEDUP_EST
+            cands.append((cost, b, k, slab, resid, od, osrc, order, kk))
+    cands.sort(key=lambda c: c[0])
+    # refine: exact unique-pair + unique-dst counts for the best few
+    best = None
+    for _, b, k, slab, resid, od, osrc, order, kk in cands[:3]:
+        if resid:
+            hot = np.zeros(num_nodes, dtype=bool)
+            if kk:
+                hot[order[:kk]] = True
+            keep = ~hot[od]
+            pairs = (osrc[keep] // res_ob) * np.int64(num_nodes + 1) + od[keep]
+            uniq = len(np.unique(pairs))
+            uniq_dst = len(np.unique(od[keep]))
+        else:
+            uniq = uniq_dst = 0
+        cost = slab + res_ns * uniq + GATHER_BIG_NS * uniq_dst
+        if best is None or cost < best[0]:
+            best = (cost, b, k)
     assert best is not None
-    return best[0], best[1]
+    return best[1], best[2]
 
 
 def build_hybrid(
     graph: GraphCSR,
     hot_k: int | None = None,
     diag_b: int | None = None,
-    res_tile: int = 128,
+    res_tile: int = 256,  # measured best: big einsum batches beat padding
     res_ob: int = 256,
     feature_dim: int | None = None,  # kept for API compat; layout is D-free
     row_align: int = 512,
@@ -207,7 +247,9 @@ def build_hybrid(
     ci = np.asarray(graph.column_index, dtype=np.int64)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
-    diag_b, hot_k = choose_tiers(src, ci, n, hot_k=hot_k, diag_b=diag_b)
+    diag_b, hot_k = choose_tiers(
+        src, ci, n, hot_k=hot_k, diag_b=diag_b, res_ob=res_ob
+    )
     assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
 
     num_rows = _round_up(max(n, 1), max(diag_b, res_ob, row_align))
@@ -252,29 +294,47 @@ def build_hybrid(
         diag_bits = np.zeros((num_rows, 0), dtype=np.uint32)
 
     # --- residual slot stream -------------------------------------------
-    rs, rd = src[in_res], ci[in_res]  # already sorted by rs (CSR order)
+    # One slot per unique (out-block, destination) pair; the multi-hot
+    # mask fans one gathered row out to every block row that wants it
+    # (measured dedup ≈ 1.2-2.1x — gathers are the residual's cost).
+    rs, rd = src[in_res], ci[in_res]
     n_blocks = num_rows // res_ob
+    num_res_pairs = 0
     if len(rs):
         blk = rs // res_ob
-        counts_b = np.bincount(blk, minlength=n_blocks)
+        key = blk * np.int64(n + 1) + rd
+        ukey, inv = np.unique(key, return_inverse=True)
+        u = len(ukey)
+        num_res_pairs = u
+        ublk = ukey // (n + 1)
+        udst = ukey % (n + 1)
+        res_gather, udst_c = np.unique(udst, return_inverse=True)
+        res_gather = res_gather.astype(np.int32)
+        words = res_ob // 32
+        off = rs - blk * res_ob
+        umask = np.zeros((u, words), dtype=np.uint32)
+        np.bitwise_or.at(
+            umask, (inv, off // 32), np.uint32(1) << (off % 32).astype(np.uint32)
+        )
+        counts_b = np.bincount(ublk, minlength=n_blocks)
         padded_b = _round_up_arr(counts_b, res_tile)
         starts = np.concatenate(([0], np.cumsum(padded_b)))
         m_pad = int(starts[-1])
         res_dst = np.zeros(m_pad, dtype=np.int32)
-        res_seg = np.full(m_pad, res_ob, dtype=np.int32)  # pad: matches none
-        # position of each slot: block start + within-block index
-        within = np.arange(len(rs)) - np.concatenate(
-            ([0], np.cumsum(counts_b))
-        )[blk]
-        pos = starts[blk] + within
-        res_dst[pos] = rd
-        res_seg[pos] = rs - blk * res_ob
+        res_mask = np.zeros((m_pad, words), dtype=np.uint32)  # pad: all-zero
+        # position of each unique slot: block start + within-block index
+        # (ukey is sorted, so slots arrive grouped by block)
+        within = np.arange(u) - np.concatenate(([0], np.cumsum(counts_b)))[ublk]
+        pos = starts[ublk] + within
+        res_dst[pos] = udst_c
+        res_mask[pos] = umask
         res_t2b = np.repeat(
             np.arange(n_blocks, dtype=np.int32), padded_b // res_tile
         )
     else:
+        res_gather = np.zeros(0, dtype=np.int32)
         res_dst = np.zeros(0, dtype=np.int32)
-        res_seg = np.zeros(0, dtype=np.int32)
+        res_mask = np.zeros((0, res_ob // 32), dtype=np.uint32)
         res_t2b = np.zeros(0, dtype=np.int32)
 
     degrees = np.ones(num_rows, dtype=np.float32)
@@ -292,14 +352,16 @@ def build_hybrid(
         hot_bits=hot_bits,
         diag_b=diag_b,
         diag_bits=diag_bits,
+        res_gather=res_gather,
         res_dst=res_dst,
-        res_seg=res_seg,
+        res_mask=res_mask,
         res_t2b=res_t2b,
         res_tile=res_tile,
         res_ob=res_ob,
         num_hot_edges=int(in_hot.sum()),
         num_diag_edges=int(in_diag.sum()),
         num_res_edges=int(in_res.sum()),
+        num_res_pairs=num_res_pairs,
         num_res_slots=len(res_dst),
     )
 

@@ -45,8 +45,11 @@ def test_layout_accounts_every_edge(hybrid_setup):
     g, hg, _ = hybrid_setup
     assert _popcount(hg.hot_bits) == hg.num_hot_edges
     assert _popcount(hg.diag_bits) == hg.num_diag_edges
-    real_slots = int((hg.res_seg < hg.res_ob).sum())
-    assert real_slots == hg.num_res_edges
+    # every residual edge is exactly one multi-hot bit
+    assert _popcount(hg.res_mask) == hg.num_res_edges
+    assert hg.num_res_pairs <= hg.num_res_edges
+    real_slots = int((hg.res_mask != 0).any(axis=1).sum())
+    assert real_slots == hg.num_res_pairs
     assert hg.num_hot_edges + hg.num_diag_edges + hg.num_res_edges == g.nnz
 
 

@@ -70,3 +70,24 @@ def test_pack_unpack_roundtrip_bit_major():
     want = np.zeros((r, k), np.float32)
     want[rows, cols] = 1.0
     np.testing.assert_array_equal(dense, want)
+
+
+def test_fused_slab_matmul_interpret_matches_oracle():
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import fused_slab_matmul
+
+    rng = np.random.default_rng(4)
+    r, b, k, d = 256, 128, 64, 16
+    drows = rng.integers(0, r, 900)
+    dcols = rng.integers(0, b, 900)
+    dbits = pack_slab_bits(drows, dcols, r, b)
+    hbits = _random_slab(rng, r, k, 500)
+    x = rng.standard_normal((r, d)).astype(np.float32)
+    xh = rng.standard_normal((k, d)).astype(np.float32)
+    da = unpack_slab(dbits, b)
+    want = np.concatenate([
+        da[i : i + b] @ x[i : i + b] for i in range(0, r, b)
+    ]) + unpack_slab(hbits, k) @ xh
+    got = np.asarray(fused_slab_matmul(
+        dbits, hbits, x, xh, diag_b=b, block_rows=64, interpret=True
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
