@@ -17,8 +17,10 @@ Two implementations:
 
 Both follow the same pipeline as ``reorder.cpp``: symmetrize + dedup +
 strip self-loops (reorder.cpp:32-97), greedy modularity merging in
-increasing-degree order, then a community-contiguous permutation
-(dendrogram DFS in C++, community grouping here; rabbit_order.hpp:623-673).
+increasing-degree order (parallel with per-community locks in C++ for
+large graphs, rabbit_order.hpp:477-526 analog), then a dendrogram-DFS
+permutation (rabbit_order.hpp:623-673) that keeps recently merged
+sub-communities contiguous inside their community.
 """
 
 from __future__ import annotations
@@ -79,6 +81,8 @@ def rabbit_permutation(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
     uf = _UnionFind(num_nodes)
     strength = deg.copy()  # community total degree, indexed by root
     order = np.argsort(deg, kind="stable")
+    # dendrogram children per representative, in merge order
+    children: list[list[int]] = [[] for _ in range(num_nodes)]
 
     for v in order:
         beg, end = rp[v], rp[v + 1]
@@ -100,17 +104,24 @@ def rabbit_permutation(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
         if best_root >= 0:
             uf.union_into(rv, best_root)
             strength[best_root] += sv
+            children[best_root].append(int(rv))
 
-    roots = np.fromiter(
-        (uf.find(int(i)) for i in range(num_nodes)), dtype=np.int64, count=num_nodes
-    )
-    # Communities ordered by their first-seen member; members keep original
-    # relative order inside a community (locality-preserving tie-break).
-    first_seen = np.full(num_nodes, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(first_seen, roots, np.arange(num_nodes, dtype=np.int64))
-    sort_keys = np.lexsort((np.arange(num_nodes), first_seen[roots]))
+    # Dendrogram DFS (rabbit_order.hpp:623-673 analog): emit each
+    # representative, then its children subtrees in merge order — recently
+    # merged sub-communities stay contiguous inside their community.
     perm = np.empty(num_nodes, dtype=np.int64)
-    perm[sort_keys] = np.arange(num_nodes, dtype=np.int64)
+    pos = 0
+    parent = uf.parent
+    for r in range(num_nodes):
+        if parent[r] != r:
+            continue
+        stack = [r]
+        while stack:
+            u = stack.pop()
+            perm[u] = pos
+            pos += 1
+            stack.extend(reversed(children[u]))
+    assert pos == num_nodes
     return perm
 
 

@@ -111,9 +111,14 @@ int64_t gt_parse_edge_list(const char* path, int64_t* src, int64_t* dst,
 // Pipeline parity with reorder.cpp:235-290: symmetrize + dedup + drop self
 // loops (reorder.cpp:32-97), then greedy incremental aggregation in
 // increasing-degree order merging each vertex into the neighbor community
-// with the best positive modularity gain dQ ~ w_uv - s_u*s_v/(2W)
-// (rabbit_order.hpp:455-526), then a community-contiguous permutation
-// (the dendrogram-DFS analog, rabbit_order.hpp:623-673).
+// with the best positive modularity gain dQ ~ w_uv - s_u*s_v/(2W).  Large
+// graphs merge CONCURRENTLY with address-ordered per-community spinlocks —
+// the std::atomic re-expression of the reference's lock-free merge
+// (rabbit_order.hpp:477-526); small graphs run sequentially
+// (deterministic).  The final ordering is a DFS over the recorded merge
+// dendrogram (children in merge order), reproducing the hierarchical
+// intra-community locality of compute_perm (rabbit_order.hpp:623-673)
+// rather than a flat first-seen community order.
 // ---------------------------------------------------------------------------
 
 static int64_t uf_find(std::vector<int64_t>& parent, int64_t x) {
@@ -125,6 +130,20 @@ static int64_t uf_find(std::vector<int64_t>& parent, int64_t x) {
     x = nxt;
   }
   return root;
+}
+
+// Lock-free find over the atomic parent array (racy path halving is safe:
+// any interleaving still points at an ancestor).
+static int64_t uf_find_atomic(std::vector<std::atomic<int64_t>>& parent,
+                              int64_t x) {
+  int64_t p = parent[x].load(std::memory_order_relaxed);
+  while (p != x) {
+    const int64_t gp = parent[p].load(std::memory_order_relaxed);
+    parent[x].store(gp, std::memory_order_relaxed);  // path halving
+    x = p;
+    p = gp;
+  }
+  return x;
 }
 
 int gt_rabbit_permutation(const int64_t* src, const int64_t* dst,
@@ -171,12 +190,8 @@ int gt_rabbit_permutation(const int64_t* src, const int64_t* dst,
   }
 
   // --- greedy modularity merging, increasing-degree order ---
-  std::vector<double> strength(n);
   double two_w = 0;
-  for (int64_t v = 0; v < n; ++v) {
-    strength[v] = double(rp2[v + 1] - rp2[v]);
-    two_w += strength[v];
-  }
+  for (int64_t v = 0; v < n; ++v) two_w += double(rp2[v + 1] - rp2[v]);
   if (two_w == 0) {
     for (int64_t v = 0; v < n; ++v) perm_out[v] = v;
     return 0;
@@ -187,62 +202,184 @@ int gt_rabbit_permutation(const int64_t* src, const int64_t* dst,
     return (rp2[a + 1] - rp2[a]) < (rp2[b + 1] - rp2[b]);
   });
 
-  std::vector<int64_t> parent(n);
-  std::iota(parent.begin(), parent.end(), 0);
-  // scratch accumulation of community weights via an epoch-stamped table
-  std::vector<int64_t> stamp(n, -1);
-  std::vector<double> wacc(n, 0.0);
-  std::vector<int64_t> touched;
-  touched.reserve(256);
+  // Dendrogram: every vertex merges (as a representative) at most once;
+  // children are recorded in merge order for the DFS below.
+  std::vector<int64_t> child_head(n, -1), child_next(n, -1), child_tail(n, -1);
+  auto record_child = [&](int64_t parent_c, int64_t child) {
+    if (child_head[parent_c] < 0) {
+      child_head[parent_c] = child_tail[parent_c] = child;
+    } else {
+      child_next[child_tail[parent_c]] = child;
+      child_tail[parent_c] = child;
+    }
+  };
 
-  for (int64_t idx = 0; idx < n; ++idx) {
-    const int64_t v = order[idx];
-    const int64_t beg = rp2[v], end = rp2[v + 1];
-    if (beg == end) continue;
-    const int64_t rv = uf_find(parent, v);
-    touched.clear();
-    for (int64_t i = beg; i < end; ++i) {
-      const int64_t rn = uf_find(parent, cols2[i]);
-      if (rn == rv) continue;
-      if (stamp[rn] != idx) {
-        stamp[rn] = idx;
-        wacc[rn] = 0.0;
-        touched.push_back(rn);
-      }
-      wacc[rn] += 1.0;
+  const bool parallel_merge = n >= 200000;
+  std::vector<int64_t> parent_seq;
+  std::vector<std::atomic<int64_t>> parent_at;
+  if (parallel_merge) {
+    // -- concurrent merging (the rabbit_order.hpp:477-526 analog) --------
+    parent_at = std::vector<std::atomic<int64_t>>(n);
+    std::vector<std::atomic<int64_t>> strength(n);
+    std::vector<std::atomic<uint8_t>> lock(n);
+    for (int64_t v = 0; v < n; ++v) {
+      parent_at[v].store(v, std::memory_order_relaxed);
+      strength[v].store(rp2[v + 1] - rp2[v], std::memory_order_relaxed);
+      lock[v].store(0, std::memory_order_relaxed);
     }
-    int64_t best = -1;
-    double best_gain = 0.0;
-    const double sv = strength[rv];
-    for (int64_t rn : touched) {
-      const double gain = wacc[rn] - sv * strength[rn] / two_w;
-      if (gain > best_gain) {
-        best_gain = gain;
-        best = rn;
+    auto acquire = [&](int64_t i) {
+      uint8_t expected = 0;
+      while (!lock[i].compare_exchange_weak(expected, 1,
+                                            std::memory_order_acquire)) {
+        expected = 0;
+      }
+    };
+    auto release = [&](int64_t i) {
+      lock[i].store(0, std::memory_order_release);
+    };
+
+    int merge_threads = 8;  // 8B/node/thread of scratch: cap the footprint
+#ifdef _OPENMP
+    merge_threads = std::min(omp_get_max_threads(), 8);
+#endif
+#pragma omp parallel num_threads(merge_threads)
+    {
+      // thread-local epoch-stamped gain accumulator (float+int32: ~8B/node)
+      std::vector<int32_t> stamp(n, -1);
+      std::vector<float> wacc(n, 0.f);
+      std::vector<int64_t> touched;
+      touched.reserve(256);
+#pragma omp for schedule(dynamic, 512)
+      for (int64_t idx = 0; idx < n; ++idx) {
+        const int64_t v = order[idx];
+        const int64_t beg = rp2[v], end = rp2[v + 1];
+        if (beg == end) continue;
+        for (int attempt = 0; attempt < 4; ++attempt) {
+          const int64_t rv = uf_find_atomic(parent_at, v);
+          touched.clear();
+          for (int64_t i = beg; i < end; ++i) {
+            const int64_t rn = uf_find_atomic(parent_at, cols2[i]);
+            if (rn == rv) continue;
+            if (stamp[rn] != int32_t(idx)) {
+              stamp[rn] = int32_t(idx);
+              wacc[rn] = 0.f;
+              touched.push_back(rn);
+            }
+            wacc[rn] += 1.f;
+          }
+          int64_t best = -1;
+          double best_gain = 0.0;
+          const double sv =
+              double(strength[rv].load(std::memory_order_relaxed));
+          for (int64_t rn : touched) {
+            const double gain =
+                double(wacc[rn]) -
+                sv * double(strength[rn].load(std::memory_order_relaxed)) /
+                    two_w;
+            if (gain > best_gain) {
+              best_gain = gain;
+              best = rn;
+            }
+          }
+          if (best < 0) break;
+          // address-ordered locks: no deadlock; re-check roots under lock
+          const int64_t a = std::min(rv, best), b = std::max(rv, best);
+          acquire(a);
+          acquire(b);
+          const bool still_roots =
+              parent_at[rv].load(std::memory_order_relaxed) == rv &&
+              parent_at[best].load(std::memory_order_relaxed) == best;
+          if (still_roots) {
+            parent_at[rv].store(best, std::memory_order_relaxed);
+            strength[best].fetch_add(
+                strength[rv].load(std::memory_order_relaxed),
+                std::memory_order_relaxed);
+            record_child(best, rv);  // safe: best's lock is held
+            release(b);
+            release(a);
+            break;
+          }
+          release(b);
+          release(a);  // roots moved under us: recompute and retry
+        }
       }
     }
-    if (best >= 0) {
-      parent[rv] = best;
-      strength[best] += sv;
+  } else {
+    // -- sequential merging (deterministic; small graphs) ----------------
+    parent_seq.resize(n);
+    std::iota(parent_seq.begin(), parent_seq.end(), 0);
+    std::vector<int64_t> strength(n);
+    for (int64_t v = 0; v < n; ++v) strength[v] = rp2[v + 1] - rp2[v];
+    std::vector<int64_t> stamp(n, -1);
+    std::vector<double> wacc(n, 0.0);
+    std::vector<int64_t> touched;
+    touched.reserve(256);
+    for (int64_t idx = 0; idx < n; ++idx) {
+      const int64_t v = order[idx];
+      const int64_t beg = rp2[v], end = rp2[v + 1];
+      if (beg == end) continue;
+      const int64_t rv = uf_find(parent_seq, v);
+      touched.clear();
+      for (int64_t i = beg; i < end; ++i) {
+        const int64_t rn = uf_find(parent_seq, cols2[i]);
+        if (rn == rv) continue;
+        if (stamp[rn] != idx) {
+          stamp[rn] = idx;
+          wacc[rn] = 0.0;
+          touched.push_back(rn);
+        }
+        wacc[rn] += 1.0;
+      }
+      int64_t best = -1;
+      double best_gain = 0.0;
+      const double sv = double(strength[rv]);
+      for (int64_t rn : touched) {
+        const double gain = wacc[rn] - sv * double(strength[rn]) / two_w;
+        if (gain > best_gain) {
+          best_gain = gain;
+          best = rn;
+        }
+      }
+      if (best >= 0) {
+        parent_seq[rv] = best;
+        strength[best] += strength[rv];
+        record_child(best, rv);
+      }
     }
   }
 
-  // --- community-contiguous permutation (first-seen community order) ---
-  std::vector<int64_t> root_of(n);
-  for (int64_t v = 0; v < n; ++v) root_of[v] = uf_find(parent, v);
-  std::vector<int64_t> first_seen(n, -1);
-  for (int64_t v = 0; v < n; ++v) {
-    if (first_seen[root_of[v]] < 0) first_seen[root_of[v]] = v;
+  // --- dendrogram-DFS permutation (rabbit_order.hpp:623-673 analog) -----
+  // Roots in ascending vertex id; each subtree emits the representative
+  // first, then its children in merge order — recently merged
+  // sub-communities stay contiguous inside their community.
+  std::vector<int64_t> merged_into(n);
+  if (parallel_merge) {
+    for (int64_t v = 0; v < n; ++v)
+      merged_into[v] = parent_at[v].load(std::memory_order_relaxed);
+  } else {
+    merged_into = parent_seq;
   }
-  // stable counting: order nodes by (first_seen[root], original id)
-  std::vector<int64_t> node_order(n);
-  std::iota(node_order.begin(), node_order.end(), 0);
-  std::stable_sort(node_order.begin(), node_order.end(),
-                   [&](int64_t a, int64_t b) {
-                     return first_seen[root_of[a]] < first_seen[root_of[b]];
-                   });
-  for (int64_t pos = 0; pos < n; ++pos) perm_out[node_order[pos]] = pos;
-  return 0;
+  int64_t pos = 0;
+  std::vector<int64_t> stack;
+  for (int64_t r = 0; r < n; ++r) {
+    if (merged_into[r] != r) continue;  // not a top-level community
+    stack.push_back(r);
+    while (!stack.empty()) {
+      const int64_t u = stack.back();
+      stack.pop_back();
+      perm_out[u] = pos++;
+      // push children reversed so DFS visits them in merge order
+      int64_t count = 0;
+      for (int64_t c = child_head[u]; c >= 0; c = child_next[c]) ++count;
+      const size_t base = stack.size();
+      stack.resize(base + count);
+      int64_t w = count;
+      for (int64_t c = child_head[u]; c >= 0; c = child_next[c]) {
+        stack[base + (--w)] = c;
+      }
+    }
+  }
+  return pos == n ? 0 : -2;
 }
 
 // ---------------------------------------------------------------------------
