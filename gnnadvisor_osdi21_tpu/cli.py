@@ -193,8 +193,17 @@ def main(argv=None) -> int:
         return 0
 
     # -- training ---------------------------------------------------------
-    x = jnp.asarray(prop.pad_features(graph.init_embedding(args.dim, seed=args.seed)))
-    y = jnp.asarray(prop.pad_features(graph.init_labels(graph.num_classes)))
+    # Features are synthetic randn (dataset.py:129) and labels all-ones
+    # (dataset.py:136): generate them ON DEVICE — shipping a [N, dim] host
+    # array through the tunneled device costs minutes at Type II scale.
+    n_rows = (
+        prop.hybrid_graph.num_rows if prop.hybrid_graph is not None
+        else graph.num_nodes
+    )
+    x = jax.random.normal(
+        jax.random.PRNGKey(args.seed), (n_rows, args.dim), jnp.float32
+    )
+    y = jnp.ones((n_rows,), jnp.int32)
     mask = None
     if prop.hybrid_graph is not None:
         mask = jnp.asarray(prop.hybrid_graph.row_mask)

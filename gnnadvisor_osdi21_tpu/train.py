@@ -47,19 +47,29 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mask: jax.Array | None = None,
 ):
-    """Build a jitted (params, opt_state, x, y) -> (params, opt_state, loss)."""
+    """Build a jitted (params, opt_state, x, y) -> (params, opt_state, loss).
 
-    def loss_fn(params, x, y):
-        return nll_loss(apply_fn(params, x, gts), y, mask)
+    The graph tensors and mask travel as jit ARGUMENTS, not closure
+    captures: closed-over device arrays are baked into the lowered module
+    as constants, which at Type II scale (hundreds of MB of adjacency)
+    makes tracing and compilation take minutes (see
+    utils/timing.py discussion of this platform)."""
+    gts = tuple(gts)
+
+    def loss_fn(params, x, y, gts_, mask_):
+        return nll_loss(apply_fn(params, x, gts_), y, mask_)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+    def step(params, opt_state, x, y, gts_, mask_):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gts_, mask_)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    def call(params, opt_state, x, y):
+        return step(params, opt_state, x, y, gts, mask)
+
+    return call
 
 
 def build_model(
@@ -89,14 +99,18 @@ def make_epoch_scan(
     (the reference pays a Python->C++->CUDA launch per layer per epoch;
     here XLA owns the full loop)."""
 
-    def loss_fn(params, x, y):
-        return nll_loss(apply_fn(params, x, gts), y, mask)
+    gts = tuple(gts)
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
-    def run(params, opt_state, x, y):
+    def loss_fn(params, x, y, gts_, mask_):
+        return nll_loss(apply_fn(params, x, gts_), y, mask_)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x, y, gts_, mask_):
         def body(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, y, gts_, mask_
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -106,7 +120,17 @@ def make_epoch_scan(
         )
         return params, opt_state, losses[-1]
 
-    return run
+    class _Runner:
+        """Callable + ahead-of-time compile hook (gts/mask pre-bound)."""
+
+        def __call__(self, params, opt_state, x, y):
+            return run(params, opt_state, x, y, gts, mask)
+
+        def compile(self, params, opt_state, x, y):
+            compiled = run.lower(params, opt_state, x, y, gts, mask).compile()
+            return lambda p, o, x_, y_: compiled(p, o, x_, y_, gts, mask)
+
+    return _Runner()
 
 
 def train_and_time(
@@ -157,7 +181,7 @@ def train_and_time(
         params, opt_state, loss = warm(params, opt_state, x, y)
         float(loss)
         # compile the timed program outside the measured window
-        timed_c = timed.lower(params, opt_state, x, y).compile()
+        timed_c = timed.compile(params, opt_state, x, y)
         warmup_s = time.perf_counter() - compile_start
         start = time.perf_counter()
         params, opt_state, loss = timed_c(params, opt_state, x, y)
