@@ -1,0 +1,175 @@
+"""Full measurement campaign: 30-row roster + the 4 parameter studies.
+
+Drives every measurement the reference's evaluation protocol produces —
+the 15-dataset × {GCN, GIN} roster (0_bench_GNNA_GCN.py / 0_bench_GNNA_GIN.py)
+and the four studies (s7-4_1 partsize, s7-4_2 dimtile, s7-4_3 reorder,
+s7-5_1 hidden) — as one **resumable** sequential run: each config gets its
+own log under ``logs/runs/<tag>.log`` and is skipped when that log already
+contains a ``Time (ms)`` line, so an interrupted campaign continues where
+it stopped.  After the sweep, the per-run logs are assembled into the
+protocol logs (``logs/gcn.log``, ``logs/gin.log``, ``logs/study_*.log``)
+and pivoted to CSV with the stock log2csv/study2csv scrapers.
+
+Usage: python -m gnnadvisor_osdi21_tpu.bench.campaign [--quick] [--only roster|studies]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, QUICK, TYPE_III
+from gnnadvisor_osdi21_tpu.bench.studies import DIM_TILES, HIDDEN, PARTSIZES
+
+RUN_DIR = os.path.join("logs", "runs")
+TIMEOUT_S = 2400  # generous: Type II first compiles go through the tunnel
+
+
+def _config_cmd(dataset: str, extra: list[str], epochs: int) -> list[str]:
+    _, _, dim, classes, _, _ = DATASETS[dataset]
+    return [
+        sys.executable, "-m", "gnnadvisor_osdi21_tpu",
+        "--dataset", dataset, "--dim", str(dim), "--classes", str(classes),
+        "--num_epoches", str(epochs),
+    ] + extra
+
+
+def roster_configs(quick: bool):
+    """15 datasets × GCN(h16)/GIN(h64), auto decider + rabbit (reference
+    0_bench_GNNA_GCN.py:44-53 grid)."""
+    epochs = 50 if quick else 200
+    names = QUICK if quick else list(DATASETS)
+    for model, hidden in (("gcn", 16), ("gin", 64)):
+        for name in names:
+            tag = f"roster_{model}_{name}"
+            yield tag, model, _config_cmd(name, [
+                "--model", model, "--hidden", str(hidden),
+                "--manual_mode", "False", "--enable_rabbit", "True",
+            ], epochs)
+
+
+def study_configs(quick: bool):
+    """The four reference studies; every run uses the per-epoch dispatch
+    loop (fresh program per config; the scan variant's first compile is
+    slow through the remote compiler)."""
+    epochs = 50 if quick else 200
+    graphs = TYPE_III[:1] if quick else TYPE_III
+
+    for ps in PARTSIZES[:3] if quick else PARTSIZES:
+        for ds in graphs:
+            yield f"partsize_{ps}_{ds}", "partsize", _config_cmd(ds, [
+                "--manual_mode", "True", "--method", "ell",
+                "--partSize", str(ps), "--hidden", "16",
+                "--use_scan", "False",
+            ], epochs), f"++ Part-size: {ps}\n{ds}---partsize: {ps}"
+
+    for dw in DIM_TILES[:3] if quick else DIM_TILES:
+        for ds in graphs:
+            yield f"dimtile_{dw}_{ds}", "dimtile", _config_cmd(ds, [
+                "--manual_mode", "True", "--method", "hybrid",
+                "--dimWorker", str(dw), "--hidden", "16",
+                "--use_scan", "False",
+            ], epochs), f"++ dimWorker: {dw}\n{ds}---dimWorker: {dw}"
+
+    # s7-4_3: GIN hidden=64, manual mode, first three Type III graphs
+    for flag in ("False", "True"):
+        for ds in TYPE_III[:1] if quick else TYPE_III[:3]:
+            yield f"reorder_{flag}_{ds}", "reorder", _config_cmd(ds, [
+                "--manual_mode", "True", "--method", "hybrid",
+                "--model", "gin", "--hidden", "64",
+                "--enable_rabbit", flag, "--use_scan", "False",
+            ], epochs), f"++ rabbit: {flag}\n{ds}---rabbit: {flag}"
+
+    for h in HIDDEN[:3] if quick else HIDDEN:
+        for ds in graphs:
+            yield f"hidden_{h}_{ds}", "hidden", _config_cmd(ds, [
+                "--manual_mode", "False", "--hidden", str(h),
+                "--use_scan", "False",
+            ], epochs), f"++ hidden: {h}\n{ds}---hidden: {h}"
+
+
+def _done(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    with open(path) as fp:
+        return "Time (ms):" in fp.read()
+
+
+def _run_one(tag: str, cmd: list[str]) -> None:
+    path = os.path.join(RUN_DIR, f"{tag}.log")
+    if _done(path):
+        print(f"[skip] {tag}", flush=True)
+        return
+    t0 = time.time()
+    print(f"[run ] {tag}", flush=True)
+    with open(path, "w") as fp:
+        try:
+            subprocess.run(cmd, stdout=fp, stderr=subprocess.STDOUT,
+                           timeout=TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            fp.write(f"\nCAMPAIGN: timeout after {TIMEOUT_S}s\n")
+    status = "ok" if _done(path) else "FAILED"
+    print(f"[{status:4}] {tag} ({time.time() - t0:.0f}s)", flush=True)
+
+
+def _assemble(quick: bool) -> None:
+    """Per-run logs -> protocol logs -> CSVs (stock scrapers)."""
+    from gnnadvisor_osdi21_tpu.bench import log2csv, study2csv
+
+    def cat(paths, out, headers=None):
+        with open(out, "w") as fp:
+            for i, p in enumerate(paths):
+                if headers:
+                    fp.write(headers[i] + "\n")
+                if os.path.exists(p):
+                    with open(p) as rp:
+                        fp.write(rp.read())
+        return out
+
+    for model in ("gcn", "gin"):
+        tags = [t for t, m, _ in roster_configs(quick) if m == model]
+        paths = [os.path.join(RUN_DIR, f"{t}.log") for t in tags]
+        log2csv.main([cat(paths, os.path.join("logs", f"{model}.log"))])
+
+    by_study: dict[str, list[tuple[str, str]]] = {}
+    for tag, study, _, header in study_configs(quick):
+        by_study.setdefault(study, []).append(
+            (os.path.join(RUN_DIR, f"{tag}.log"), header)
+        )
+    for study, entries in by_study.items():
+        out = os.path.join("logs", f"study_{study}.log")
+        cat([p for p, _ in entries], out, headers=[h for _, h in entries])
+        study2csv.main([out])
+
+    # roster.csv: model,dataset,Avg.Epoch (ms)
+    with open(os.path.join("logs", "roster.csv"), "w") as fp:
+        fp.write("model,dataset,Avg.Epoch (ms)\n")
+        for model in ("gcn", "gin"):
+            csv = os.path.join("logs", f"{model}.csv")
+            if os.path.exists(csv):
+                with open(csv) as rp:
+                    next(rp)
+                    for line in rp:
+                        fp.write(f"{model},{line}")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    quick = "--quick" in argv
+    only = argv[argv.index("--only") + 1] if "--only" in argv else None
+    os.makedirs(RUN_DIR, exist_ok=True)
+    if only in (None, "roster"):
+        for tag, _model, cmd in roster_configs(quick):
+            _run_one(tag, cmd)
+    if only in (None, "studies"):
+        for tag, _study, cmd, _hdr in study_configs(quick):
+            _run_one(tag, cmd)
+    _assemble(quick)
+    print("campaign done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

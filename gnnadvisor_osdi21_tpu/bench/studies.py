@@ -68,14 +68,18 @@ def main(argv=None) -> int:
                 _run(ds, ["--manual_mode", "True", "--method", "hybrid",
                           "--dimWorker", str(dw), "--hidden", "16"], quick)
     elif study == "reorder":
+        # Reference protocol (s7-4_3_node_renumbering.py:10-17): GIN
+        # hidden=64, manual mode (so enable_rabbit on/off is forced rather
+        # than left to the heuristic), first three Type III graphs.
         for flag in ("False", "True"):
             print("******************************")
             print(f"++ rabbit: {flag}")
             print("******************************")
-            for ds in graphs:
+            for ds in TYPE_III[:1] if quick else TYPE_III[:3]:
                 print(f"{ds}---rabbit: {flag}")
-                _run(ds, ["--manual_mode", "False",
-                          "--enable_rabbit", flag, "--hidden", "16"], quick)
+                _run(ds, ["--manual_mode", "True", "--method", "hybrid",
+                          "--model", "gin",
+                          "--enable_rabbit", flag, "--hidden", "64"], quick)
     elif study == "hidden":
         for h in HIDDEN[:3] if quick else HIDDEN:
             print("******************************")

@@ -147,13 +147,31 @@ def main(argv=None) -> int:
 
     # -- multi-chip path --------------------------------------------------
     if args.num_devices > 1:
-        from gnnadvisor_osdi21_tpu.parallel.dist_ops import make_dist_train_step
         from gnnadvisor_osdi21_tpu.parallel.mesh import make_mesh
-        from gnnadvisor_osdi21_tpu.parallel.partition import shard_graph
 
         graph = prop.graph
-        sg = shard_graph(graph, num_devices=args.num_devices)
         mesh = make_mesh(args.num_devices)
+        if args.method in ("auto", "hybrid"):
+            # the tuned hybrid layout, sharded (parallel/hybrid_partition.py)
+            from gnnadvisor_osdi21_tpu.parallel.dist_hybrid import (
+                make_dist_train_step,
+            )
+            from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import (
+                shard_graph_hybrid,
+            )
+
+            sg = shard_graph_hybrid(
+                graph, num_devices=args.num_devices,
+                diag_b=None if args.diagB < 0 else args.diagB,
+                hot_k=None if args.hotK < 0 else args.hotK,
+            )
+        else:
+            from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
+                make_dist_train_step,
+            )
+            from gnnadvisor_osdi21_tpu.parallel.partition import shard_graph
+
+            sg = shard_graph(graph, num_devices=args.num_devices)
         step, init = make_dist_train_step(mesh, sg, args.model)
         params, opt_state, garr, x, y = init(
             jax.random.PRNGKey(args.seed), args.dim, args.hidden,

@@ -298,44 +298,9 @@ def build_hybrid(
     # mask fans one gathered row out to every block row that wants it
     # (measured dedup ≈ 1.2-2.1x — gathers are the residual's cost).
     rs, rd = src[in_res], ci[in_res]
-    n_blocks = num_rows // res_ob
-    num_res_pairs = 0
-    if len(rs):
-        blk = rs // res_ob
-        key = blk * np.int64(n + 1) + rd
-        ukey, inv = np.unique(key, return_inverse=True)
-        u = len(ukey)
-        num_res_pairs = u
-        ublk = ukey // (n + 1)
-        udst = ukey % (n + 1)
-        res_gather, udst_c = np.unique(udst, return_inverse=True)
-        res_gather = res_gather.astype(np.int32)
-        words = res_ob // 32
-        off = rs - blk * res_ob
-        umask = np.zeros((u, words), dtype=np.uint32)
-        np.bitwise_or.at(
-            umask, (inv, off // 32), np.uint32(1) << (off % 32).astype(np.uint32)
-        )
-        counts_b = np.bincount(ublk, minlength=n_blocks)
-        padded_b = _round_up_arr(counts_b, res_tile)
-        starts = np.concatenate(([0], np.cumsum(padded_b)))
-        m_pad = int(starts[-1])
-        res_dst = np.zeros(m_pad, dtype=np.int32)
-        res_mask = np.zeros((m_pad, words), dtype=np.uint32)  # pad: all-zero
-        # position of each unique slot: block start + within-block index
-        # (ukey is sorted, so slots arrive grouped by block)
-        within = np.arange(u) - np.concatenate(([0], np.cumsum(counts_b)))[ublk]
-        pos = starts[ublk] + within
-        res_dst[pos] = udst_c
-        res_mask[pos] = umask
-        res_t2b = np.repeat(
-            np.arange(n_blocks, dtype=np.int32), padded_b // res_tile
-        )
-    else:
-        res_gather = np.zeros(0, dtype=np.int32)
-        res_dst = np.zeros(0, dtype=np.int32)
-        res_mask = np.zeros((0, res_ob // 32), dtype=np.uint32)
-        res_t2b = np.zeros(0, dtype=np.int32)
+    res_gather, res_dst, res_mask, res_t2b, num_res_pairs = (
+        build_residual_stream(rs, rd, n, num_rows, res_tile, res_ob)
+    )
 
     degrees = np.ones(num_rows, dtype=np.float32)
     degrees[:n] = graph.degrees
@@ -368,3 +333,59 @@ def build_hybrid(
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return -(-x // m) * m
+
+
+def build_residual_stream(
+    rs: np.ndarray,
+    rd: np.ndarray,
+    col_space: int,
+    num_rows: int,
+    res_tile: int,
+    res_ob: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Residual tier construction, shared with the multi-chip layout.
+
+    ``rs``: output rows in [0, num_rows); ``rd``: gather-source ids in
+    [0, col_space) — for the single-chip layout that's the same node space,
+    for the sharded layout it's the per-device gather table (local block +
+    received halo).  Returns ``(res_gather, res_dst, res_mask, res_t2b,
+    num_pairs)`` — one slot per unique (out-block, source) pair, multi-hot
+    row masks, tiles grouped per out-block (see HybridGraph fields).
+    """
+    n_blocks = num_rows // res_ob
+    words = res_ob // 32
+    if not len(rs):
+        return (
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.int32),
+            np.zeros((0, words), dtype=np.uint32),
+            np.zeros(0, dtype=np.int32),
+            0,
+        )
+    blk = rs // res_ob
+    key = blk * np.int64(col_space + 1) + rd
+    ukey, inv = np.unique(key, return_inverse=True)
+    u = len(ukey)
+    ublk = ukey // (col_space + 1)
+    udst = ukey % (col_space + 1)
+    res_gather, udst_c = np.unique(udst, return_inverse=True)
+    res_gather = res_gather.astype(np.int32)
+    off = rs - blk * res_ob
+    umask = np.zeros((u, words), dtype=np.uint32)
+    np.bitwise_or.at(
+        umask, (inv, off // 32), np.uint32(1) << (off % 32).astype(np.uint32)
+    )
+    counts_b = np.bincount(ublk, minlength=n_blocks)
+    padded_b = _round_up_arr(counts_b, res_tile)
+    starts = np.concatenate(([0], np.cumsum(padded_b)))
+    m_pad = int(starts[-1])
+    res_dst = np.zeros(m_pad, dtype=np.int32)
+    res_mask = np.zeros((m_pad, words), dtype=np.uint32)  # pad: all-zero
+    # position of each unique slot: block start + within-block index
+    # (ukey is sorted, so slots arrive grouped by block)
+    within = np.arange(u) - np.concatenate(([0], np.cumsum(counts_b)))[ublk]
+    pos = starts[ublk] + within
+    res_dst[pos] = udst_c.astype(np.int32)
+    res_mask[pos] = umask
+    res_t2b = np.repeat(np.arange(n_blocks, dtype=np.int32), padded_b // res_tile)
+    return res_gather, res_dst, res_mask, res_t2b, u

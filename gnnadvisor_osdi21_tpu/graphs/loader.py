@@ -119,12 +119,18 @@ class GraphCSR:
             [perm[self.edge_index[0]], perm[self.edge_index[1]]]
         ).astype(np.int64)
         row_pointers, column_index = build_csr(new_edges, self.num_nodes)
+        span = (
+            float(np.mean(np.abs(new_edges[0] - new_edges[1])))
+            if new_edges.shape[1]
+            else 0.0
+        )
         return dataclasses.replace(
             self,
             edge_index=new_edges,
             row_pointers=row_pointers,
             column_index=column_index,
             degrees=_sqrt_degrees(row_pointers),
+            avg_edgeSpan=span,
             reordered=True,
         )
 

@@ -34,30 +34,67 @@ from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors
 # ---------------------------------------------------------------------------
 
 
-def _ell_aggregate(x: jax.Array, gt: GraphTensors, norm: bool) -> jax.Array:
-    """Padded neighbor-group aggregation (the warp-per-part analog).
+# Max bytes of materialized [parts, part_size, D] gather scratch per step.
+# Above this the ELL pass chunks over part blocks with lax.map — large
+# part sizes (the 512-wide end of the s7-4_1 study grid) would otherwise
+# materialize >10 GB of padded gathers and OOM the 16 GB HBM.
+_ELL_SCRATCH_BUDGET = 1 << 30
 
-    Stage 1 — per-part masked (weighted) sum over the partSize axis: the
-    analog of a warp accumulating its part into shared memory
-    (GNNAdvisor_kernel.cu:383-406).  Stage 2 — sorted segment-sum of part
-    partials into owner nodes: the deterministic analog of the atomic flush
-    (:409-413).  The ``deg[src]`` factor is applied once per node at the end
-    instead of per edge (algebraically identical, saves a gather).
-    """
-    num_parts, part_size = gt.part_cols.shape
-    cols = gt.part_cols.reshape(-1)
-    gathered = jnp.take(x, cols, axis=0, indices_are_sorted=False).reshape(
+
+def _ell_part_sums(
+    x: jax.Array, cols: jax.Array, lens: jax.Array, degrees, norm: bool
+) -> jax.Array:
+    """Per-part masked (weighted) sum over the partSize axis: the analog of
+    a warp accumulating its part into shared memory
+    (GNNAdvisor_kernel.cu:383-406)."""
+    num_parts, part_size = cols.shape
+    gathered = jnp.take(x, cols.reshape(-1), axis=0, indices_are_sorted=False).reshape(
         num_parts, part_size, -1
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (num_parts, part_size), 1)
-    mask = lane < gt.part_lens[:, None]
+    mask = lane < lens[:, None]
     if norm:
-        w = jnp.where(mask, gt.degrees[gt.part_cols], 0.0)
+        w = jnp.where(mask, degrees[cols], 0.0)
     else:
         w = mask.astype(x.dtype)
-    part_sums = jnp.einsum(
+    return jnp.einsum(
         "psd,ps->pd", gathered, w.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
+
+
+def _ell_aggregate(x: jax.Array, gt: GraphTensors, norm: bool) -> jax.Array:
+    """Padded neighbor-group aggregation (the warp-per-part analog).
+
+    Stage 1 — per-part masked (weighted) sum (``_ell_part_sums``), chunked
+    over part blocks when the padded gather scratch would exceed the VMEM/HBM
+    budget.  Stage 2 — sorted segment-sum of part partials into owner nodes:
+    the deterministic analog of the atomic flush (:409-413).  The
+    ``deg[src]`` factor is applied once per node at the end instead of per
+    edge (algebraically identical, saves a gather).
+    """
+    num_parts, part_size = gt.part_cols.shape
+    d = x.shape[1]
+    if num_parts * part_size * d * 4 <= _ELL_SCRATCH_BUDGET:
+        part_sums = _ell_part_sums(x, gt.part_cols, gt.part_lens, gt.degrees, norm)
+    else:
+        chunk = max(_ELL_SCRATCH_BUDGET // (part_size * d * 4), 1)
+        n_chunks = -(-num_parts // chunk)
+        pad = n_chunks * chunk - num_parts
+        # padded parts point at row 0 with length 0: zero contribution
+        cols = jnp.pad(gt.part_cols, ((0, pad), (0, 0)))
+        lens = jnp.pad(gt.part_lens, (0, pad))
+
+        def step(args):
+            cols_c, lens_c = args
+            return _ell_part_sums(x, cols_c, lens_c, gt.degrees, norm)
+
+        part_sums = jax.lax.map(
+            step,
+            (
+                cols.reshape(n_chunks, chunk, part_size),
+                lens.reshape(n_chunks, chunk),
+            ),
+        ).reshape(n_chunks * chunk, -1)[:num_parts]
     out = jax.ops.segment_sum(
         part_sums, gt.part2node, num_segments=gt.num_nodes, indices_are_sorted=True
     )

@@ -1,0 +1,214 @@
+"""Distributed aggregation + training on the tuned hybrid layout.
+
+The multi-chip twin of ``ops/hybrid_agg.py`` (see
+``parallel/hybrid_partition.py`` for the layout): inside ``shard_map``,
+each device runs
+
+1. the **diagonal tier** against ``x_local`` — its columns are block-local
+   by construction, so this Pallas slab matmul has NO data dependency on
+   the halo exchange and XLA schedules it concurrently with the
+   all_to_all (communication overlap on the tuned kernel; ablation in
+   ``tools/overlap_ablation.py``),
+2. one ``all_to_all`` halo exchange building the gather table
+   ``[x_local ; recv]`` (plan from hybrid_partition; rides ICI),
+3. the **hot + residual tiers** against the table.
+
+GCN's ``deg[s]·deg[d]`` weighting factors into a local pre-scale of the
+sent features and a local post-scale of the output (the same algebraic
+trick as dist_ops), so the exchange never ships degree vectors.
+
+Differentiable end-to-end: ``aggregate`` carries a custom VJP whose
+backward is the same aggregation applied to the cotangent (undirected
+graphs — the reference's assumption, gnn_conv.py:23-27); the halo
+exchange inside re-runs, and its adjoint all_to_all never materializes a
+scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
+    HybridTensors,
+    _diag_aggregate,
+    _hot_aggregate,
+    _residual_aggregate,
+)
+from gnnadvisor_osdi21_tpu.parallel.dist_ops import _halo_exchange
+from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import HybridShardedGraph
+from gnnadvisor_osdi21_tpu.parallel.mesh import GRAPH_AXIS
+from gnnadvisor_osdi21_tpu.train import build_model
+
+
+def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
+    """Assemble the local shard's HybridTensors view (row space = block)."""
+    return HybridTensors(
+        degrees=g["degrees"],
+        row_mask=g["node_mask"],
+        diag_bits=g["diag_bits"] if sg.diag_b else None,
+        hot_bits=g["hot_bits"] if sg.hot_k else None,
+        hot_ids=g["hot_ids"] if sg.hot_k else None,
+        res_gather=g["res_gather"],
+        res_dst=g["res_dst"],
+        res_mask=g["res_mask"],
+        res_t2b=g["res_t2b"],
+        num_rows=sg.block,
+        real_nodes=sg.block,
+        diag_b=sg.diag_b,
+        hot_k=sg.hot_k,
+        res_tile=sg.res_tile,
+        res_ob=sg.res_ob,
+    )
+
+
+def dist_hybrid_aggregate(
+    x_local: jax.Array, sg: HybridShardedGraph, g: dict, norm: bool,
+    overlap: bool = True,
+) -> jax.Array:
+    """out[s] = Σ_d w_sd · x[d] over the three tiers; runs inside shard_map.
+
+    ``overlap=False`` forces the diagonal tier to read through the halo
+    table (adding a false dependency on the all_to_all) — the ablation arm
+    that demonstrates the overlap is real (tools/overlap_ablation.py).
+    """
+    ht = _local_tensors(sg, g)
+    if norm:
+        x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)
+    table = _halo_exchange(x_local, g["send_idx"])
+    out = None
+    if sg.diag_b:
+        # diagonal columns are block-local: reading them from x_local keeps
+        # the slab matmul independent of the exchange
+        diag_src = x_local if overlap else table[: sg.block]
+        out = _diag_aggregate(diag_src, ht)
+    if sg.hot_k:
+        h = _hot_aggregate(table, ht)
+        out = h if out is None else out + h
+    if ht.res_dst is not None:
+        r = _residual_aggregate(table, ht)
+        out = r if out is None else out + r
+    if out is None:
+        out = jnp.zeros_like(x_local)
+    if norm:
+        out = out * ht.degrees[:, None].astype(out.dtype)
+    return out.astype(x_local.dtype)
+
+
+def _model_apply(model, params, x, agg, epsilon: float = 0.5):
+    """GCN-2 / GIN-5 forward with a distributed aggregate closure."""
+    if model == "gcn":
+        h = x @ params["conv1"]
+        h = jax.nn.relu(agg(h, True))
+        h = h @ params["conv2"]
+        h = agg(h, True)
+        return jax.nn.log_softmax(h, axis=1)
+    if model == "gin":
+        h = x
+        n_layers = len(params)
+        for i in range(n_layers):
+            h = epsilon * agg(h, False)
+            h = h @ params[f"conv{i + 1}"]
+            if i < n_layers - 1:
+                h = jax.nn.relu(h)
+        return jax.nn.log_softmax(h, axis=1)
+    raise ValueError(f"unknown model: {model}")
+
+
+def _graph_specs(sg: HybridShardedGraph):
+    specs = {
+        "degrees": P(GRAPH_AXIS, None),
+        "node_mask": P(GRAPH_AXIS, None),
+        "res_gather": P(GRAPH_AXIS, None),
+        "res_dst": P(GRAPH_AXIS, None),
+        "res_mask": P(GRAPH_AXIS, None, None),
+        "res_t2b": P(GRAPH_AXIS, None),
+        "send_idx": P(GRAPH_AXIS, None, None),
+    }
+    if sg.diag_b:
+        specs["diag_bits"] = P(GRAPH_AXIS, None, None)
+    if sg.hot_k:
+        specs["hot_ids"] = P(GRAPH_AXIS, None)
+        specs["hot_bits"] = P(GRAPH_AXIS, None, None)
+    return specs
+
+
+def device_graph_arrays(sg: HybridShardedGraph, mesh: Mesh) -> dict:
+    specs = _graph_specs(sg)
+    return {
+        k: jax.device_put(
+            jnp.asarray(getattr(sg, k)), NamedSharding(mesh, specs[k])
+        )
+        for k in specs
+    }
+
+
+def make_dist_loss_fn(
+    mesh: Mesh, sg: HybridShardedGraph, model: str, overlap: bool = True
+) -> Callable:
+    """loss(params, g_arrays, x, y): full hybrid forward inside shard_map."""
+    total_nodes = float(sg.num_nodes)
+    specs = _graph_specs(sg)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), specs, P(GRAPH_AXIS, None), P(GRAPH_AXIS)),
+        out_specs=P(),
+    )
+    def loss_fn(params, g, x_blk, y_blk):
+        g = {k: v[0] for k, v in g.items()}
+        agg = lambda h, norm: dist_hybrid_aggregate(h, sg, g, norm, overlap)
+        log_probs = _model_apply(model, params, x_blk, agg)
+        nll = -jnp.take_along_axis(
+            log_probs, y_blk[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        local = jnp.sum(nll * g["node_mask"])
+        return jax.lax.psum(local, GRAPH_AXIS) / total_nodes
+
+    return loss_fn
+
+
+def make_dist_train_step(
+    mesh: Mesh, sg: HybridShardedGraph, model: str, lr: float = 0.01,
+    overlap: bool = True,
+):
+    """Jitted multi-chip hybrid train step + init helper (dist_ops twin)."""
+    loss_fn = make_dist_loss_fn(mesh, sg, model, overlap=overlap)
+    optimizer = optax.adam(lr)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, g, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, g, x, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(key, in_dim: int, hidden: int, num_classes: int, x=None, y=None):
+        params, _ = build_model(model, key, in_dim, hidden, num_classes)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = optimizer.init(params)
+        g = device_graph_arrays(sg, mesh)
+        out = [params, opt_state, g]
+        row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
+        n_pad = sg.num_devices * sg.block
+        if x is not None:
+            xp = np.zeros((n_pad, x.shape[1]), dtype=np.float32)
+            xp[: x.shape[0]] = np.asarray(x)
+            out.append(jax.device_put(jnp.asarray(xp), row_sharding))
+        if y is not None:
+            yp = np.zeros(n_pad, dtype=np.int32)
+            yp[: y.shape[0]] = np.asarray(y)
+            out.append(
+                jax.device_put(jnp.asarray(yp), NamedSharding(mesh, P(GRAPH_AXIS)))
+            )
+        return tuple(out)
+
+    return step, init

@@ -1,0 +1,161 @@
+"""Multi-chip hybrid-layout runtime: the tuned three-tier kernel inside
+shard_map must agree with the single-chip oracle (8-device virtual CPU
+mesh; SURVEY.md §2.3 mandate (b) follow-up)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+from gnnadvisor_osdi21_tpu.ops import reference
+from gnnadvisor_osdi21_tpu.parallel.dist_hybrid import (
+    _graph_specs,
+    device_graph_arrays,
+    dist_hybrid_aggregate,
+    make_dist_loss_fn,
+    make_dist_train_step,
+)
+from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import shard_graph_hybrid
+from gnnadvisor_osdi21_tpu.parallel.mesh import GRAPH_AXIS, make_mesh
+
+needs_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # community topology: after the (identity here) ordering some edges are
+    # block-local ⇒ all three tiers are exercised with diag_b/hot_k forced on
+    g = synthesize_graph(3000, 40000, num_features=16, num_classes=5,
+                         kind="community", seed=3)
+    sg = shard_graph_hybrid(g, num_devices=8, diag_b=512, hot_k=512)
+    mesh = make_mesh(8)
+    return g, sg, mesh
+
+
+def _padded(x, rows):
+    out = np.zeros((rows,) + x.shape[1:], dtype=x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def _edge_coverage(sg):
+    """Edges represented across tiers (bit counts + residual mask bits)."""
+    bits = int(np.unpackbits(sg.diag_bits.view(np.uint8)).sum())
+    bits += int(np.unpackbits(sg.hot_bits.view(np.uint8)).sum())
+    bits += int(np.unpackbits(sg.res_mask.view(np.uint8)).sum())
+    return bits
+
+
+@needs_8
+def test_sharded_layout_covers_every_edge(setup):
+    g, sg, _ = setup
+    assert sg.num_devices * sg.block >= g.num_nodes
+    assert sg.block % max(sg.diag_b, sg.res_ob) == 0
+    assert _edge_coverage(sg) == g.nnz
+    assert sg.res_gather.max() < sg.table_rows
+    assert sg.hot_ids.max() < sg.table_rows
+    for d in range(sg.num_devices):
+        assert np.all(np.diff(sg.res_t2b[d].astype(np.int64)) >= 0)
+
+
+@needs_8
+@pytest.mark.parametrize("norm", [False, True])
+@pytest.mark.parametrize("overlap", [True, False])
+def test_dist_hybrid_aggregate_matches_oracle(setup, norm, overlap):
+    g, sg, mesh = setup
+    dim = 16
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((g.num_nodes, dim), dtype=np.float32)
+
+    src = reference.csr_to_coo(g.row_pointers, g.column_index)
+    if norm:
+        want = reference.gcn_aggregate(
+            jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
+            jnp.asarray(g.degrees), g.num_nodes,
+        )
+    else:
+        want = reference.sag(
+            jnp.asarray(x), jnp.asarray(src), jnp.asarray(g.column_index),
+            g.num_nodes,
+        )
+
+    garr = device_graph_arrays(sg, mesh)
+    xp = jax.device_put(
+        jnp.asarray(_padded(x, sg.num_devices * sg.block)),
+        NamedSharding(mesh, P(GRAPH_AXIS, None)),
+    )
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(_graph_specs(sg), P(GRAPH_AXIS, None)),
+        out_specs=P(GRAPH_AXIS, None),
+    )
+    def run(gd, x_blk):
+        gd = {k: v[0] for k, v in gd.items()}
+        return dist_hybrid_aggregate(x_blk, sg, gd, norm, overlap=overlap)
+
+    out = np.asarray(run(garr, xp))[: g.num_nodes]
+    np.testing.assert_allclose(out, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@needs_8
+def test_dist_hybrid_loss_matches_single_chip(setup):
+    g, sg, mesh = setup
+    from gnnadvisor_osdi21_tpu.models import gcn_apply, init_gcn
+    from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
+    from gnnadvisor_osdi21_tpu.train import nll_loss
+
+    params = init_gcn(jax.random.PRNGKey(3), 16, 16, g.num_classes)
+    x = g.init_embedding(16, seed=2)
+    y = g.init_labels(g.num_classes)
+
+    gt = build_graph_tensors(g, method="ell", part_size=4)
+    single = float(
+        nll_loss(gcn_apply(params, jnp.asarray(x), (gt, gt)), jnp.asarray(y))
+    )
+
+    loss_fn = make_dist_loss_fn(mesh, sg, "gcn")
+    garr = device_graph_arrays(sg, mesh)
+    xd = jax.device_put(
+        jnp.asarray(_padded(x, sg.num_devices * sg.block)),
+        NamedSharding(mesh, P(GRAPH_AXIS, None)),
+    )
+    yd = jax.device_put(
+        jnp.asarray(_padded(y.astype(np.int32), sg.num_devices * sg.block)),
+        NamedSharding(mesh, P(GRAPH_AXIS)),
+    )
+    dist = float(jax.jit(loss_fn)(params, garr, xd, yd))
+    assert abs(dist - single) < 1e-4 * max(1.0, abs(single))
+
+
+@needs_8
+@pytest.mark.parametrize("model,hidden", [("gcn", 16), ("gin", 32)])
+def test_dist_hybrid_training_converges(setup, model, hidden):
+    g, sg, mesh = setup
+    step, init = make_dist_train_step(mesh, sg, model)
+    params, opt_state, garr, xd, yd = init(
+        jax.random.PRNGKey(0), 16, hidden, g.num_classes,
+        g.init_embedding(16, seed=1), g.init_labels(g.num_classes),
+    )
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, garr, xd, yd)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@needs_8
+def test_auto_tiers_sharded_build(setup):
+    """Cost-model tier choice also produces a consistent sharded layout."""
+    g, _, mesh = setup
+    sg = shard_graph_hybrid(g, num_devices=8)
+    assert _edge_coverage(sg) == g.nnz

@@ -144,3 +144,21 @@ def test_aggregate_under_jit_with_graph_closure(skewed_graph):
 
     assert np.isfinite(float(f(x)))
     assert np.isfinite(float(jax.grad(f)(x).sum()))
+
+
+@pytest.mark.parametrize("norm", [False, True])
+def test_ell_chunked_matches_unchunked(skewed_graph, norm, monkeypatch):
+    """The lax.map-chunked ELL pass (big part_size × dim products, s7-4_1
+    study grid) must agree exactly with the single-shot pass."""
+    import importlib
+
+    agg_mod = importlib.import_module("gnnadvisor_osdi21_tpu.ops.aggregate")
+
+    g = skewed_graph
+    x = _x(g, 32)
+    gt = build_graph_tensors(g, method="ell", part_size=8)
+    want = np.asarray(aggregate(x, gt, norm))
+    # force chunking (several chunks, plus a ragged tail)
+    monkeypatch.setattr(agg_mod, "_ELL_SCRATCH_BUDGET", 8 * 32 * 4 * 3)
+    out = np.asarray(aggregate(x, gt, norm))
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
