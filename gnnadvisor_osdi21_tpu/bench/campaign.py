@@ -23,8 +23,13 @@ import time
 from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, QUICK, TYPE_III
 from gnnadvisor_osdi21_tpu.bench.studies import DIM_TILES, HIDDEN, PARTSIZES
 
+LOG_DIR = "logs"
 RUN_DIR = os.path.join("logs", "runs")
 TIMEOUT_S = 2400  # generous: Type II first compiles go through the tunnel
+
+# extra flags appended to every config (e.g. ["--platform", "cpu"] in
+# --smoke mode, which validates the whole sweep+assemble pipeline off-TPU)
+SMOKE_ARGS: list[str] = []
 
 
 def _config_cmd(dataset: str, extra: list[str], epochs: int) -> list[str]:
@@ -33,7 +38,7 @@ def _config_cmd(dataset: str, extra: list[str], epochs: int) -> list[str]:
         sys.executable, "-m", "gnnadvisor_osdi21_tpu",
         "--dataset", dataset, "--dim", str(dim), "--classes", str(classes),
         "--num_epoches", str(epochs),
-    ] + extra
+    ] + extra + SMOKE_ARGS
 
 
 def roster_configs(quick: bool):
@@ -57,6 +62,16 @@ def study_configs(quick: bool):
     epochs = 50 if quick else 200
     graphs = TYPE_III[:1] if quick else TYPE_III
 
+    # s7-4_3 first: the reordering thesis is the headline claim, so its
+    # data lands even if the sweep is interrupted.
+    for flag in ("False", "True"):
+        for ds in TYPE_III[:1] if quick else TYPE_III[:3]:
+            yield f"reorder_{flag}_{ds}", "reorder", _config_cmd(ds, [
+                "--manual_mode", "True", "--method", "hybrid",
+                "--model", "gin", "--hidden", "64",
+                "--enable_rabbit", flag, "--use_scan", "False",
+            ], epochs), f"++ rabbit: {flag}\n{ds}---rabbit: {flag}"
+
     for ps in PARTSIZES[:3] if quick else PARTSIZES:
         for ds in graphs:
             yield f"partsize_{ps}_{ds}", "partsize", _config_cmd(ds, [
@@ -72,15 +87,6 @@ def study_configs(quick: bool):
                 "--dimWorker", str(dw), "--hidden", "16",
                 "--use_scan", "False",
             ], epochs), f"++ dimWorker: {dw}\n{ds}---dimWorker: {dw}"
-
-    # s7-4_3: GIN hidden=64, manual mode, first three Type III graphs
-    for flag in ("False", "True"):
-        for ds in TYPE_III[:1] if quick else TYPE_III[:3]:
-            yield f"reorder_{flag}_{ds}", "reorder", _config_cmd(ds, [
-                "--manual_mode", "True", "--method", "hybrid",
-                "--model", "gin", "--hidden", "64",
-                "--enable_rabbit", flag, "--use_scan", "False",
-            ], epochs), f"++ rabbit: {flag}\n{ds}---rabbit: {flag}"
 
     for h in HIDDEN[:3] if quick else HIDDEN:
         for ds in graphs:
@@ -131,7 +137,7 @@ def _assemble(quick: bool) -> None:
     for model in ("gcn", "gin"):
         tags = [t for t, m, _ in roster_configs(quick) if m == model]
         paths = [os.path.join(RUN_DIR, f"{t}.log") for t in tags]
-        log2csv.main([cat(paths, os.path.join("logs", f"{model}.log"))])
+        log2csv.main([cat(paths, os.path.join(LOG_DIR, f"{model}.log"))])
 
     by_study: dict[str, list[tuple[str, str]]] = {}
     for tag, study, _, header in study_configs(quick):
@@ -139,15 +145,15 @@ def _assemble(quick: bool) -> None:
             (os.path.join(RUN_DIR, f"{tag}.log"), header)
         )
     for study, entries in by_study.items():
-        out = os.path.join("logs", f"study_{study}.log")
+        out = os.path.join(LOG_DIR, f"study_{study}.log")
         cat([p for p, _ in entries], out, headers=[h for _, h in entries])
         study2csv.main([out])
 
     # roster.csv: model,dataset,Avg.Epoch (ms)
-    with open(os.path.join("logs", "roster.csv"), "w") as fp:
+    with open(os.path.join(LOG_DIR, "roster.csv"), "w") as fp:
         fp.write("model,dataset,Avg.Epoch (ms)\n")
         for model in ("gcn", "gin"):
-            csv = os.path.join("logs", f"{model}.csv")
+            csv = os.path.join(LOG_DIR, f"{model}.csv")
             if os.path.exists(csv):
                 with open(csv) as rp:
                     next(rp)
@@ -156,8 +162,18 @@ def _assemble(quick: bool) -> None:
 
 
 def main(argv=None) -> int:
+    global LOG_DIR, RUN_DIR
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv
+    if "--smoke" in argv:
+        # Off-TPU validation of the full sweep + assembly pipeline; kept
+        # fully separate from the real campaign's logs and resume state.
+        quick = True
+        LOG_DIR = os.path.join("logs", "smoke")
+        RUN_DIR = os.path.join(LOG_DIR, "runs")
+        os.makedirs(LOG_DIR, exist_ok=True)
+        # appended last, so it overrides the per-config epoch count
+        SMOKE_ARGS.extend(["--platform", "cpu", "--num_epoches", "3"])
     only = argv[argv.index("--only") + 1] if "--only" in argv else None
     os.makedirs(RUN_DIR, exist_ok=True)
     if only in (None, "roster"):

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save (params, opt_state, step) to this path after training")
     p.add_argument("--resume", type=str, default="",
                    help="restore (params, opt_state, step) from this path first")
+    p.add_argument("--platform", type=str, default="default",
+                   choices=["default", "cpu"],
+                   help="force the JAX platform (cpu = run without the TPU)")
     return p
 
 
@@ -116,6 +119,12 @@ def load_dataset(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(args)
+    if args.platform == "cpu":
+        # Must happen before any backend init; the env var alone is
+        # re-overridden by the container's sitecustomize.
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
