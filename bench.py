@@ -70,6 +70,8 @@ def main():
                 "edges_per_s": round(graph.nnz / sec / 1e9, 3),
                 "edges_per_s_unit": "Gedge/s",
                 "hbm_floor_fraction": round(rl.hbm_fraction, 4),
+                "graph": "synthetic web topology at amazon0505 scale "
+                         "(real .npz not shippable here)",
             }
         )
     )

@@ -1,0 +1,133 @@
+"""Headline-kernel lever sweep: measure every remaining tuning knob on the
+amazon0505-scale bench graph (same protocol as bench.py) so the cost-model
+constants and defaults stay evidence-backed.
+
+Levers swept (VERDICT r1 item 1.iii):
+- tier geometry: (diag_b, hot_k) grid incl. >4096 second-tier candidates
+- kernel geometry: block_rows (warpPerBlock analog), beyond the 512 default
+- compute dtype: float32 vs bfloat16 slab/residual dots
+- residual tiling: res_tile x res_ob
+
+Usage: python -m gnnadvisor_osdi21_tpu.bench.levers [--quick]
+Prints one line per config: config, ms, Gedge/s; then the best config.
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+
+
+def _bench_graph(dim: int = 16):
+    import os
+
+    import numpy as np
+
+    from gnnadvisor_osdi21_tpu.graphs.loader import load_graph, synthesize_graph
+    from gnnadvisor_osdi21_tpu.graphs.reorder import rabbit_reorder_graph
+
+    num_nodes, num_edges = 410_236, 4_878_874
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data", "bench_web_410k.npz",
+    )
+    if os.path.exists(cache):
+        graph = load_graph(cache, num_features=dim)
+    else:
+        graph = synthesize_graph(
+            num_nodes, num_edges, num_features=dim, kind="web", seed=0
+        )
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, src_li=graph.edge_index[0], dst_li=graph.edge_index[1],
+                 num_nodes=graph.num_nodes)
+    return rabbit_reorder_graph(graph)
+
+
+def main(argv=None) -> int:
+    from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid, choose_tiers
+    from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
+    from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    quick = "--quick" in argv
+    dim = 16
+    graph = _bench_graph(dim)
+    import numpy as np
+
+    src = np.repeat(
+        np.arange(graph.num_nodes, dtype=np.int64),
+        np.diff(np.asarray(graph.row_pointers, dtype=np.int64)),
+    )
+    auto_b, auto_k = choose_tiers(
+        src, np.asarray(graph.column_index, dtype=np.int64), graph.num_nodes
+    )
+    print(f"# cost-model choice: diag_b={auto_b} hot_k={auto_k}", flush=True)
+
+    x = jnp.ones((1, dim), jnp.float32)  # placeholder; resized per layout
+
+    def run(tag, hg, block_rows=512, feature_tile=128, agg_dtype="float32"):
+        ht = build_hybrid_tensors(
+            hg, block_rows=block_rows, feature_tile=feature_tile,
+            agg_dtype=agg_dtype,
+        )
+        xx = jnp.ones((hg.num_rows, dim), jnp.float32)
+        sec = chained_device_time(
+            lambda a, h: sag(a, h), xx, ht, iters=20 if quick else 50, reps=3
+        )
+        ms = sec * 1e3
+        print(
+            f"{tag:58s} {ms:8.3f} ms  {graph.nnz / sec / 1e9:6.2f} Gedge/s",
+            flush=True,
+        )
+        return ms, tag
+
+    results = []
+
+    # 1) tier grid around the auto choice (incl. 8192 second-tier sizes)
+    b_grid = sorted({auto_b, 2048, 4096, 8192} - {0})
+    k_grid = sorted({auto_k, 2048, 4096, 8192} - {0})
+    if quick:
+        b_grid, k_grid = [auto_b or 2048], sorted({auto_k or 4096, 8192})
+    layouts = {}
+    for b, k in itertools.product(b_grid, k_grid):
+        hg = layouts.setdefault((b, k), build_hybrid(graph, hot_k=k, diag_b=b))
+        results.append(run(f"tiers diag_b={b} hot_k={k}", hg))
+
+    # best tier layout feeds the remaining sweeps
+    hg = layouts[
+        min(
+            (m, bk) for (m, t), bk in zip(results, itertools.product(b_grid, k_grid))
+        )[1]
+    ]
+
+    # 2) block_rows (the VMEM-budget geometry knob)
+    for br in (256, 512, 1024, 2048):
+        if br > hg.diag_b:
+            continue
+        results.append(run(f"block_rows={br}", hg, block_rows=br))
+
+    # 3) compute dtype
+    results.append(run("agg_dtype=bfloat16", hg, agg_dtype="bfloat16"))
+
+    # 4) residual tiling
+    if not quick:
+        for rt, ob in ((128, 256), (256, 256), (512, 256), (256, 512)):
+            hg2 = build_hybrid(
+                graph, hot_k=hg.hot_k, diag_b=hg.diag_b,
+                res_tile=rt, res_ob=ob,
+            )
+            results.append(run(f"res_tile={rt} res_ob={ob}", hg2))
+
+    best = min(results)
+    print(f"# BEST: {best[1]} @ {best[0]:.3f} ms", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,8 +62,8 @@ GATHER_BIG_NS = 9.4  # XLA take from a >~300k-row table (stage 1)
 RESID_COMBINE_NS = 1.5  # mask unpack + multi-hot einsum + fat segment_sum
 RESID_DEDUP_EST = 1.5  # typical (out-block, dst) sharing; refined exactly
 
-DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096)
-HOT_CANDIDATES = (0, 512, 1024, 2048, 4096)
+DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
+HOT_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -122,10 +122,13 @@ def with_geometry(
 
 
 def _sanitize_block_rows(block_rows: int, diag_b: int) -> int:
-    """Clamp to a power of two in [64, 512]: always divides num_rows
-    (a multiple of 512) and any diag block (512·2^k)."""
+    """Clamp to a power of two in [64, limit] where the limit is 512 (the
+    row-alignment guarantee) unless a larger diag block raises it: num_rows
+    is a multiple of max(diag_b, 512), so any power of two up to diag_b
+    also divides num_rows."""
+    limit = min(max(diag_b, 512), 2048)
     b = 64
-    while b * 2 <= min(block_rows, 512):
+    while b * 2 <= min(block_rows, limit):
         b *= 2
     return b
 

@@ -273,6 +273,8 @@ class InputProperty:
             groups = build_neighbor_groups(
                 self.graph.row_pointers, self.graph.column_index, li.part_size
             )
+            if self.verbose:
+                print(f"# ell padding waste: {groups.padding_waste:.3f}")
         gt_in = build_graph_tensors(
             self.graph, method=li.method, groups=groups, device=device
         )
