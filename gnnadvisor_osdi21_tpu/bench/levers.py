@@ -69,17 +69,20 @@ def main(argv=None) -> int:
     )
     print(f"# cost-model choice: diag_b={auto_b} hot_k={auto_k}", flush=True)
 
-    x = jnp.ones((1, dim), jnp.float32)  # placeholder; resized per layout
-
     def run(tag, hg, block_rows=512, feature_tile=128, agg_dtype="float32"):
         ht = build_hybrid_tensors(
             hg, block_rows=block_rows, feature_tile=feature_tile,
             agg_dtype=agg_dtype,
         )
         xx = jnp.ones((hg.num_rows, dim), jnp.float32)
-        sec = chained_device_time(
-            lambda a, h: sag(a, h), xx, ht, iters=20 if quick else 50, reps=3
-        )
+        try:
+            sec = chained_device_time(
+                lambda a, h: sag(a, h), xx, ht, iters=20 if quick else 50, reps=3
+            )
+        except Exception as e:  # e.g. Mosaic VMEM overflow on big geometry
+            print(f"{tag:58s} FAILED: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            return float("inf"), tag
         ms = sec * 1e3
         print(
             f"{tag:58s} {ms:8.3f} ms  {graph.nnz / sec / 1e9:6.2f} Gedge/s",

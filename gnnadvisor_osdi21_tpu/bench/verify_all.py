@@ -3,7 +3,7 @@
 Runs the unitest-style SAG verification (``--verify_spmm True``) for every
 dataset; any mismatch fails the sweep.
 
-Usage: python -m gnnadvisor_osdi21_tpu.bench.verify_all [--quick]
+Usage: python -m gnnadvisor_osdi21_tpu.bench.verify_all [--quick] [--platform cpu]
 """
 
 from __future__ import annotations
@@ -17,6 +17,10 @@ from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, QUICK
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv
+    extra = (
+        ["--platform", argv[argv.index("--platform") + 1]]
+        if "--platform" in argv else []
+    )
     roster = QUICK if quick else list(DATASETS)
     failed = []
     for name in roster:
@@ -26,7 +30,7 @@ def main(argv=None) -> int:
             "--dataset", name, "--dim", str(dim), "--classes", str(classes),
             "--hidden", "16", "--manual_mode", "False",
             "--verify_spmm", "True",
-        ]
+        ] + extra
         print(f"=> verifying {name}", flush=True)
         if subprocess.run(cmd).returncode != 0:
             failed.append(name)
