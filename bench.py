@@ -17,7 +17,6 @@ Prints ONE JSON line.
 """
 
 import json
-import os
 import sys
 
 
@@ -25,30 +24,17 @@ def main():
     from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    import numpy as np
     import jax.numpy as jnp
 
-    from gnnadvisor_osdi21_tpu.graphs.loader import load_graph, synthesize_graph
+    from gnnadvisor_osdi21_tpu.bench.datasets import bench_graph
     from gnnadvisor_osdi21_tpu.graphs.hybrid import build_hybrid
     from gnnadvisor_osdi21_tpu.graphs.reorder import rabbit_reorder_graph
     from gnnadvisor_osdi21_tpu.ops.aggregate import sag
     from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
     from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
 
-    num_nodes, num_edges, dim = 410_236, 4_878_874, 16
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "data", "bench_web_410k.npz")
-    if os.path.exists(cache):
-        graph = load_graph(cache, num_features=dim)
-    else:
-        graph = synthesize_graph(
-            num_nodes, num_edges, num_features=dim, kind="web", seed=0
-        )
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez(cache, src_li=graph.edge_index[0], dst_li=graph.edge_index[1],
-                 num_nodes=graph.num_nodes)
-
-    graph = rabbit_reorder_graph(graph)
+    dim = 16
+    graph = rabbit_reorder_graph(bench_graph(dim))
     hg = build_hybrid(graph)
     ht = build_hybrid_tensors(hg)
 

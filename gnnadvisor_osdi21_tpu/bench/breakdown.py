@@ -18,7 +18,8 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--graph", default="data/bench_web_410k.npz")
+    p.add_argument("--graph", default="",
+                   help="graph .npz path (default: the shared bench graph)")
     p.add_argument("--dim", type=int, default=16)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--only", default="",
@@ -51,7 +52,12 @@ def main(argv=None) -> int:
         return only is None or name in only
 
     dim = args.dim
-    graph = load_graph(args.graph, num_features=dim)
+    if args.graph:
+        graph = load_graph(args.graph, num_features=dim)
+    else:
+        from gnnadvisor_osdi21_tpu.bench.datasets import bench_graph
+
+        graph = bench_graph(dim)
     graph = rabbit_reorder_graph(graph)
     n, e = graph.num_nodes, graph.nnz
     print(f"graph: N={n} nnz={e} dim={dim} (after rabbit)")

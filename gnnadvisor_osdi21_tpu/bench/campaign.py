@@ -129,9 +129,15 @@ def _assemble(quick: bool) -> None:
             for i, p in enumerate(paths):
                 if headers:
                     fp.write(headers[i] + "\n")
-                if os.path.exists(p):
+                # only splice in *completed* runs: log2csv pairs dataset
+                # names with "Time (ms)" lines by order, so a failed log
+                # (Namespace echo, no timing) would shift every subsequent
+                # time onto the wrong dataset
+                if _done(p):
                     with open(p) as rp:
                         fp.write(rp.read())
+                elif os.path.exists(p):
+                    print(f"[assemble] skipping incomplete {p}", flush=True)
         return out
 
     for model in ("gcn", "gin"):
@@ -174,7 +180,13 @@ def main(argv=None) -> int:
         os.makedirs(LOG_DIR, exist_ok=True)
         # appended last, so it overrides the per-config epoch count
         SMOKE_ARGS.extend(["--platform", "cpu", "--num_epoches", "3"])
-    only = argv[argv.index("--only") + 1] if "--only" in argv else None
+    only = None
+    if "--only" in argv:
+        idx = argv.index("--only") + 1
+        if idx >= len(argv) or argv[idx] not in ("roster", "studies"):
+            print("usage: campaign [--quick] [--smoke] [--only roster|studies]")
+            return 2
+        only = argv[idx]
     os.makedirs(RUN_DIR, exist_ok=True)
     if only in (None, "roster"):
         for tag, _model, cmd in roster_configs(quick):

@@ -49,6 +49,33 @@ TYPE_III = [k for k, v in DATASETS.items() if v[4] == "III"]
 QUICK = ["citeseer", "cora", "pubmed"]
 
 
+def bench_graph(dim: int = 16, data_dir: str | None = None) -> GraphCSR:
+    """The headline-bench graph: synthetic web topology at amazon0505 scale
+    (410,236 n / 4,878,874 e), cached as ``data/bench_web_410k.npz``.
+
+    One shared builder for bench.py, bench/levers.py and bench/breakdown.py;
+    ``data_dir`` defaults to ``<repo>/data`` (anchored at this package's
+    parent), so every entry point hits the same cache regardless of CWD.
+    """
+    if data_dir is None:
+        data_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "data",
+        )
+    num_nodes, num_edges = 410_236, 4_878_874
+    path = os.path.join(data_dir, "bench_web_410k.npz")
+    if os.path.exists(path):
+        return load_graph(path, num_features=dim)
+    g = synthesize_graph(
+        num_nodes, num_edges, num_features=dim, kind="web", seed=0
+    )
+    os.makedirs(data_dir, exist_ok=True)
+    np.savez(path, src_li=g.edge_index[0], dst_li=g.edge_index[1],
+             num_nodes=g.num_nodes)
+    return g
+
+
 def get_dataset(name: str, data_dir: str = "data", dim=None, classes=None) -> GraphCSR:
     if name not in DATASETS:
         raise KeyError(f"unknown dataset {name}; roster: {list(DATASETS)}")

@@ -19,28 +19,10 @@ import sys
 
 
 def _bench_graph(dim: int = 16):
-    import os
-
-    import numpy as np
-
-    from gnnadvisor_osdi21_tpu.graphs.loader import load_graph, synthesize_graph
+    from gnnadvisor_osdi21_tpu.bench.datasets import bench_graph
     from gnnadvisor_osdi21_tpu.graphs.reorder import rabbit_reorder_graph
 
-    num_nodes, num_edges = 410_236, 4_878_874
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "data", "bench_web_410k.npz",
-    )
-    if os.path.exists(cache):
-        graph = load_graph(cache, num_features=dim)
-    else:
-        graph = synthesize_graph(
-            num_nodes, num_edges, num_features=dim, kind="web", seed=0
-        )
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez(cache, src_li=graph.edge_index[0], dst_li=graph.edge_index[1],
-                 num_nodes=graph.num_nodes)
-    return rabbit_reorder_graph(graph)
+    return rabbit_reorder_graph(bench_graph(dim))
 
 
 def main(argv=None) -> int:

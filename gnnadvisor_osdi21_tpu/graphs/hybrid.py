@@ -183,7 +183,9 @@ def choose_tiers(
     b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
     cands = []
     for b in b_cands:
-        if b and b > _round_up(num_nodes, 512):
+        # skip oversized *auto* candidates only: a manually fixed diag_b
+        # passes through (build_hybrid rounds num_rows up to it)
+        if b and b > _round_up(num_nodes, 512) and diag_b is None:
             continue
         if b:
             off = src // b != dst // b

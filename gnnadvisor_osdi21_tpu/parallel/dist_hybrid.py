@@ -36,6 +36,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from gnnadvisor_osdi21_tpu.ops.aggregate import _zero_cotangent
 from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     HybridTensors,
     _diag_aggregate,
@@ -75,10 +76,39 @@ def dist_hybrid_aggregate(
 ) -> jax.Array:
     """out[s] = Σ_d w_sd · x[d] over the three tiers; runs inside shard_map.
 
+    Carries a custom VJP (``_dist_agg``): the global operator is symmetric
+    (undirected graphs, gnn_conv.py:23-27), so the adjoint is the same
+    distributed aggregation applied to the cotangent — the halo exchange
+    re-runs and its adjoint never materializes a scatter.  This also keeps
+    reverse-mode AD away from ``pallas_call`` (no transpose rule) on TPU.
+
     ``overlap=False`` forces the diagonal tier to read through the halo
     table (adding a false dependency on the all_to_all) — the ablation arm
     that demonstrates the overlap is real (tools/overlap_ablation.py).
     """
+    return _dist_agg(x_local, g, sg, norm, overlap)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dist_agg(x_local, g, sg, norm, overlap):
+    return _dist_tiers(x_local, g, sg, norm, overlap)
+
+
+def _dist_agg_fwd(x_local, g, sg, norm, overlap):
+    return _dist_tiers(x_local, g, sg, norm, overlap), g
+
+
+def _dist_agg_bwd(sg, norm, overlap, g, ct):
+    return _dist_tiers(ct, g, sg, norm, overlap), _zero_cotangent(g)
+
+
+_dist_agg.defvjp(_dist_agg_fwd, _dist_agg_bwd)
+
+
+def _dist_tiers(
+    x_local: jax.Array, g: dict, sg: HybridShardedGraph, norm: bool,
+    overlap: bool,
+) -> jax.Array:
     ht = _local_tensors(sg, g)
     if norm:
         x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)

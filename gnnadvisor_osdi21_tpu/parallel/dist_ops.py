@@ -74,6 +74,7 @@ def _local_part_reduce(
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def dist_aggregate(
     x_local: jax.Array,
     g: dict,
@@ -88,7 +89,16 @@ def dist_aggregate(
     exchange; boundary parts reduce against the full gather table once the
     halo lands.  Owners are sorted within each class, so both partials use
     the fast sorted segment-sum and add exactly.
+
+    Custom VJP: the global operator is symmetric (undirected graphs), so
+    the adjoint is the same distributed aggregation applied to the
+    cotangent — no scatter-add adjoints of the gathers, and the adjoint
+    all_to_all is just the forward exchange re-run.
     """
+    return _dist_ell_body(x_local, g, block, norm)
+
+
+def _dist_ell_body(x_local, g, block, norm):
     if norm:
         x_local = x_local * g["degrees"][:, None].astype(x_local.dtype)
     out = _local_part_reduce(
@@ -101,6 +111,19 @@ def dist_aggregate(
     if norm:
         out = out * g["degrees"][:, None].astype(out.dtype)
     return out
+
+
+def _dist_ell_fwd(x_local, g, block, norm):
+    return _dist_ell_body(x_local, g, block, norm), g
+
+
+def _dist_ell_bwd(block, norm, g, ct):
+    from gnnadvisor_osdi21_tpu.ops.aggregate import _zero_cotangent
+
+    return _dist_ell_body(ct, g, block, norm), _zero_cotangent(g)
+
+
+dist_aggregate.defvjp(_dist_ell_fwd, _dist_ell_bwd)
 
 
 def _model_apply(model: str, params, x, g, block: int, epsilon: float = 0.5):

@@ -215,7 +215,9 @@ class InputProperty:
                 hot_k=self.hot_k,
                 diag_b=self.diag_b,
             )
-            slab_k = max(self.diag_b, self.hot_k)
+            # the fused slab pass unpacks BOTH slabs per grid step, so the
+            # VMEM budget must price their combined width
+            slab_k = self.diag_b + self.hot_k
 
         def layer(dim: int) -> LayerConfig:
             if self.manual_mode:

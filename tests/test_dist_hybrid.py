@@ -137,6 +137,41 @@ def test_dist_hybrid_loss_matches_single_chip(setup):
 
 
 @needs_8
+def test_dist_hybrid_grads_match_single_chip(setup):
+    """The custom VJP (adjoint = same distributed aggregation) produces the
+    same parameter gradients as the single-chip oracle path."""
+    g, sg, mesh = setup
+    from gnnadvisor_osdi21_tpu.models import gcn_apply, init_gcn
+    from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
+    from gnnadvisor_osdi21_tpu.train import nll_loss
+
+    params = init_gcn(jax.random.PRNGKey(3), 16, 16, g.num_classes)
+    x = g.init_embedding(16, seed=2)
+    y = g.init_labels(g.num_classes)
+
+    gt = build_graph_tensors(g, method="ell", part_size=4)
+    single = jax.grad(
+        lambda p: nll_loss(gcn_apply(p, jnp.asarray(x), (gt, gt)), jnp.asarray(y))
+    )(params)
+
+    loss_fn = make_dist_loss_fn(mesh, sg, "gcn")
+    garr = device_graph_arrays(sg, mesh)
+    xd = jax.device_put(
+        jnp.asarray(_padded(x, sg.num_devices * sg.block)),
+        NamedSharding(mesh, P(GRAPH_AXIS, None)),
+    )
+    yd = jax.device_put(
+        jnp.asarray(_padded(y.astype(np.int32), sg.num_devices * sg.block)),
+        NamedSharding(mesh, P(GRAPH_AXIS)),
+    )
+    dist = jax.jit(jax.grad(loss_fn))(params, garr, xd, yd)
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(dist[k]), np.asarray(single[k]), rtol=2e-3, atol=2e-5
+        )
+
+
+@needs_8
 @pytest.mark.parametrize("model,hidden", [("gcn", 16), ("gin", 32)])
 def test_dist_hybrid_training_converges(setup, model, hidden):
     g, sg, mesh = setup
