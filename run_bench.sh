@@ -1,9 +1,7 @@
 #!/bin/bash
 # Full benchmark fan-out (reference 0_run_gcn.sh / 0_run_gin.sh analog).
-# Usage: ./run_bench.sh [--quick]
+# Resumable: per-config logs land in logs/runs/, finished configs are
+# skipped, then logs/gcn.{log,csv} logs/gin.{log,csv} logs/roster.csv are
+# assembled.  Usage: ./run_bench.sh [--quick] [--smoke]
 set -e
-mkdir -p logs
-python -m gnnadvisor_osdi21_tpu.bench.bench_models gcn "$@" | tee logs/gcn.log
-python -m gnnadvisor_osdi21_tpu.bench.log2csv logs/gcn.log
-python -m gnnadvisor_osdi21_tpu.bench.bench_models gin "$@" | tee logs/gin.log
-python -m gnnadvisor_osdi21_tpu.bench.log2csv logs/gin.log
+python -m gnnadvisor_osdi21_tpu.bench.campaign --only roster "$@"

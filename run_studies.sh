@@ -1,9 +1,7 @@
 #!/bin/bash
 # Parameter studies fan-out (reference 2_run_study.sh analog).
-# Usage: ./run_studies.sh [--quick]
+# Resumable: per-config logs land in logs/runs/, finished configs are
+# skipped, then logs/study_*.{log,csv} are assembled.
+# Usage: ./run_studies.sh [--quick] [--smoke]
 set -e
-mkdir -p logs
-for study in partsize dimtile reorder hidden; do
-  python -m gnnadvisor_osdi21_tpu.bench.studies $study "$@" | tee logs/study_$study.log
-  python -m gnnadvisor_osdi21_tpu.bench.study2csv logs/study_$study.log
-done
+python -m gnnadvisor_osdi21_tpu.bench.campaign --only studies "$@"
