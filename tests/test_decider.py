@@ -60,3 +60,21 @@ def test_hybrid_build_tensors_and_padding_roundtrip():
     assert gts[0].method == "hybrid"
     a = np.arange(prop.graph.num_nodes, dtype=np.float32)
     np.testing.assert_array_equal(prop.unpad_outputs(prop.pad_features(a)), a)
+
+
+def test_fused_slab_vmem_accounting_prices_both_slabs():
+    """The fused pass unpacks diag AND hot slabs per grid step; block_parts
+    must leave room for their combined unpacked f32 width in VMEM."""
+    g = synthesize_graph(20000, 200000, num_features=16, kind="web", seed=1)
+    prop = InputProperty(
+        g, hidden_dim=16, method="hybrid", manual_mode=True,
+        diag_b=4096, hot_k=4096, enable_reorder=False,
+    ).decider()
+    bp = prop.layer_input.block_parts
+    td = prop.layer_input.feature_tile
+    combined = 4096 + 4096
+    unpacked = bp * combined * 4          # two 0/1 f32 matrices
+    bits = 2 * bp * combined // 8         # double-buffered slab bits
+    x_tiles = 2 * combined * td * 4
+    out = 2 * bp * td * 4
+    assert unpacked + bits + x_tiles + out <= prop.vmem_budget
