@@ -374,8 +374,11 @@ def build_residual_stream(
     res_gather = res_gather.astype(np.int32)
     off = rs - blk * res_ob
     umask = np.zeros((u, words), dtype=np.uint32)
+    # bit-major layout (output row o -> word o % words, bit o // words),
+    # matching the slab kernels so the Pallas residual combine reuses the
+    # same repeat+shift unpack (spmm_pallas._unpack_tile)
     np.bitwise_or.at(
-        umask, (inv, off // 32), np.uint32(1) << (off % 32).astype(np.uint32)
+        umask, (inv, off % words), np.uint32(1) << (off // words).astype(np.uint32)
     )
     counts_b = np.bincount(ublk, minlength=n_blocks)
     padded_b = _round_up_arr(counts_b, res_tile)

@@ -182,26 +182,44 @@ def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
 
 
 def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
-    """Residual tier: gather one row per unique (block, dst) pair,
-    multi-hot-combine per tile on the MXU, flush with one fat-row
-    segment_sum (pad slots carry all-zero masks)."""
+    """Residual tier: gather one row per unique (block, dst) pair, then a
+    fused Pallas combine (mask unpack + MXU contraction + per-block
+    accumulation in one kernel — no HBM round-trip for the unpacked
+    one-hot, unlike the XLA-composed fallback below)."""
     d = x.shape[1]
     t = ht.res_t2b.shape[0]
     words = ht.res_ob // 32
+    n_blocks = ht.num_rows // ht.res_ob
     # two-stage gather: compact the unique destinations first (big-table
     # gathers cost ~2x small-table ones), then feed slots from the small
     # table
     compact = jnp.take(x, ht.res_gather, axis=0)
-    rows = jnp.take(compact, ht.res_dst, axis=0).reshape(t, ht.res_tile, d)
-    # multi-hot unpack: output row o lives in word o // 32 at bit o % 32
-    m = ht.res_mask.reshape(t, ht.res_tile, words, 1)
+    rows = jnp.take(compact, ht.res_dst, axis=0)  # [M_pad, D]
+    if _on_tpu():
+        from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+        out = spmm_pallas.residual_combine(
+            rows, ht.res_mask, ht.res_t2b, ht.num_rows, ht.res_ob
+        )
+        # blocks with no residual tiles are never visited by the kernel
+        # grid; select their rows to exact zeros
+        visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
+            True, indices_are_sorted=True
+        )
+        return jnp.where(
+            jnp.repeat(visited, ht.res_ob)[:, None], out, 0.0
+        ).astype(out.dtype)
+    # Reference path (CPU tests): same bit-major mask layout, explicit
+    # unpack + einsum + one fat-row segment_sum over tiles.
+    rows = rows.reshape(t, ht.res_tile, d)
+    j = jnp.arange(ht.res_ob)
     oh = (
-        (m >> jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]) & 1
-    ).astype(x.dtype).reshape(t, ht.res_tile, ht.res_ob)
+        (ht.res_mask.reshape(t, ht.res_tile, words)[:, :, j % words]
+         >> (j // words).astype(jnp.uint32)) & 1
+    ).astype(x.dtype)  # [T, S, OB]
     chunks = jnp.einsum(
         "tso,tsd->tod", oh, rows, preferred_element_type=jnp.float32
     )  # [T, OB, D]
-    n_blocks = ht.num_rows // ht.res_ob
     flat = chunks.reshape(t, ht.res_ob * d)
     blocks = jax.ops.segment_sum(
         flat, ht.res_t2b, num_segments=n_blocks, indices_are_sorted=True

@@ -255,6 +255,98 @@ def fused_slab_matmul(
     return out[:, :d] if dp != d else out
 
 
+def _resid_kernel(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
+    """One grid step = one residual tile: unpack the [S, OB] multi-hot
+    mask, contract the slot axis on the MXU, accumulate into the tile's
+    output block.  Tiles are grouped per block (t2b sorted), so the output
+    block stays resident in VMEM across its tiles and flushes once."""
+    t = pl.program_id(0)
+    prev = t2b_ref[jnp.maximum(t - 1, 0)]
+    first = jnp.logical_or(t == 0, t2b_ref[t] != prev)
+
+    a = _unpack_tile(mask_ref, shift_ref, rows_ref.dtype)  # [S, OB]
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        a, rows_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "res_ob", "interpret")
+)
+def residual_combine(
+    rows: jax.Array,  # [M_pad, D] gathered slot rows (pad slots: any value)
+    mask: jax.Array,  # [M_pad, OB/32] uint32 multi-hot, bit-major (0 on pads)
+    t2b: jax.Array,  # [T] int32 tile -> out-block, sorted ascending
+    num_rows: int,
+    res_ob: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[num_rows, D] f32: residual-tier combine, fully fused.
+
+    Replaces the XLA chain unpack -> [T, S, OB] one-hot einsum ->
+    segment_sum, which materializes the unpacked mask (T·S·OB·4 bytes —
+    ~0.9 GB of HBM round-trip at amazon0505 scale) between ops.  Here the
+    unpack lives in VMEM inside the grid step (the same fusion the CUDA
+    reference gets from accumulating in shared memory,
+    GNNAdvisor_kernel.cu:186-259).
+
+    Blocks with no residual tiles are never visited by the grid; their
+    rows are zeroed by the caller (``hybrid_agg._residual_aggregate``)
+    via a visited-block select.
+    """
+    m_pad, d = rows.shape
+    t = t2b.shape[0]
+    s = m_pad // max(t, 1)
+    words = mask.shape[1]
+    assert words * 32 == res_ob and t * s == m_pad
+    n_blocks = num_rows // res_ob
+
+    dp = _round_up(max(d, 1), 8)
+    if dp != d:
+        rows = jnp.pad(rows, ((0, 0), (0, dp - d)))
+
+    shift_row = (jnp.arange(res_ob, dtype=jnp.uint32) // jnp.uint32(words))[None, :]
+    out = pl.pallas_call(
+        _resid_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_rows, dp), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec(
+                    (s, words), lambda i, t2b_ref: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, res_ob), lambda i, t2b_ref: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (s, dp), lambda i, t2b_ref: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (res_ob, dp), lambda i, t2b_ref: (t2b_ref[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * res_ob * dp,
+            bytes_accessed=m_pad * (words * 4 + dp * 4) + n_blocks * res_ob * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(t2b, mask, shift_row, rows)
+    return out[:, :d] if dp != d else out
+
+
 def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):
     """Host-side slab builder: set bit for each (row, column) pair using
     the kernel's bit-major layout (column j → word j % (K/32), bit j // (K/32))."""

@@ -91,3 +91,44 @@ def test_fused_slab_matmul_interpret_matches_oracle():
         dbits, hbits, x, xh, diag_b=b, block_rows=64, interpret=True
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_residual_combine_interpret_matches_reference():
+    """Fused residual combine == slot-by-slot accumulation, including an
+    out-block with zero tiles (never visited by the grid — the caller
+    zero-selects it; here the kernel output for visited blocks must still
+    be exact)."""
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import build_residual_stream
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import residual_combine
+
+    rng = np.random.default_rng(5)
+    res_ob, res_tile, num_rows, d = 32, 8, 128, 16
+    col_space = 64
+    # destinations concentrated so block 2 (rows 64..95) gets no residual
+    rs = np.concatenate([
+        rng.integers(0, 64, 300), rng.integers(96, 128, 100)
+    ]).astype(np.int64)
+    rd = rng.integers(0, col_space, 400).astype(np.int64)
+    # unique (s, d) pairs: the layout dedups edges like CSR inputs do
+    rs, rd = np.unique(np.stack([rs, rd]), axis=1)
+    res_gather, res_dst, res_mask, res_t2b, _ = build_residual_stream(
+        rs, rd, col_space, num_rows, res_tile, res_ob
+    )
+    table = rng.standard_normal((col_space, d)).astype(np.float32)
+    compact = table[res_gather]
+    rows = compact[res_dst]
+
+    got = np.asarray(residual_combine(
+        rows, res_mask, res_t2b, num_rows, res_ob, interpret=True
+    ))
+
+    want = np.zeros((num_rows, d), np.float32)
+    for s, dst in zip(rs, rd):
+        want[s] += table[dst]
+    visited = np.zeros(num_rows // res_ob, bool)
+    visited[res_t2b] = True
+    vis_rows = np.repeat(visited, res_ob)
+    np.testing.assert_allclose(got[vis_rows], want[vis_rows], rtol=1e-5,
+                               atol=1e-5)
+    assert not visited[2]  # the empty-block case is actually exercised
+    assert np.all(want[64:96] == 0)
