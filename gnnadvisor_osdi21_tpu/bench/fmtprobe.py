@@ -94,13 +94,14 @@ def main(argv=None) -> int:
     # ---------------- 2. slab matmul variants ---------------------------
     if want("slab"):
         from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
-            hot_slab_matmul, pack_slab_bits,
+            hot_slab_matmul, pack_slab_bits, transpose_slab,
         )
 
         nnz = 6 * r
         rows_i = rng.integers(0, r, nnz)
         cols_i = rng.integers(0, k, nnz)
-        bits = jnp.asarray(pack_slab_bits(rows_i, cols_i, r, k))  # 67MB: ok
+        bits = jnp.asarray(transpose_slab(
+            pack_slab_bits(rows_i, cols_i, r, k)))  # 67MB: ok
         xh = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
 
         sec = chained_device_time(

@@ -61,6 +61,11 @@ GATHER_NS_PER_ROW = 5.0  # XLA take from a <~150k-row table (stage 2)
 GATHER_BIG_NS = 9.4  # XLA take from a >~300k-row table (stage 1)
 RESID_COMBINE_NS = 1.5  # mask unpack + multi-hot einsum + fat segment_sum
 RESID_DEDUP_EST = 1.5  # typical (out-block, dst) sharing; refined exactly
+HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
+# Bit slabs are stored transposed ([words, rows], spmm_pallas docstring),
+# so physical bytes == logical bytes at every width; the cap keeps auto
+# tier choices from dedicating most of HBM to adjacency bits anyway.
+SLAB_MEM_CAP_BYTES = 3 << 30  # auto tiers may not spend >3 GB on bit slabs
 
 DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
 HOT_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
@@ -80,13 +85,15 @@ class HybridGraph:
     real_nodes: int
     degrees: np.ndarray  # [R] f32 sqrt-degrees (1.0 on pad rows)
     row_mask: np.ndarray  # [R] f32, 1 on real rows
-    # hot tier (0 = disabled)
+    # hot tier (0 = disabled).  Bit arrays are stored TRANSPOSED
+    # ([words, rows]) so the TPU's 128-lane minor-dim padding never
+    # amplifies their physical bytes (spmm_pallas module docstring).
     hot_k: int
     hot_ids: np.ndarray  # [K] int32 row ids of hot destinations
-    hot_bits: np.ndarray  # [R, K/32] uint32, bit-major layout
+    hot_bits: np.ndarray  # [K/32, R] uint32, transposed bit-major
     # diagonal tier (0 = disabled)
     diag_b: int
-    diag_bits: np.ndarray  # [R, B/32] uint32, bit-major, cols local to block
+    diag_bits: np.ndarray  # [B/32, R] uint32, transposed, cols block-local
     # residual tier (res_dst.size == 0 = disabled).  One slot = one unique
     # (out-block, destination) pair; the multi-hot mask says which of the
     # block's res_ob rows it feeds (dedup: one gather serves every edge
@@ -96,7 +103,7 @@ class HybridGraph:
     # slots from it.
     res_gather: np.ndarray  # [Ud] int32 unique destination rows (stage 1)
     res_dst: np.ndarray  # [M_pad] int32 index into res_gather per slot
-    res_mask: np.ndarray  # [M_pad, res_ob/32] uint32 multi-hot (0 on pads)
+    res_mask: np.ndarray  # [res_ob/32, M_pad] uint32 multi-hot, transposed
     res_t2b: np.ndarray  # [T] int32 out-block of each tile
     res_tile: int
     res_ob: int
@@ -206,11 +213,19 @@ def choose_tiers(
             kk = min(k, num_nodes)
             covered = int(csum[kk - 1]) if kk else 0
             resid = e - n_diag - covered
+            bits_bytes_per_row = (b + k) // 8
+            if rows * bits_bytes_per_row > SLAB_MEM_CAP_BYTES:
+                continue  # candidate would blow the HBM budget
             slab = rows * (
-                (SLAB_A_NS if (b or k) else 0.0) + SLAB_B_NS * (b + k)
+                (SLAB_A_NS if (b or k) else 0.0)
+                + SLAB_B_NS * (b + k)
+                # streaming the bit rows from HBM each pass
+                + bits_bytes_per_row / HBM_BYTES_PER_NS
             )
             cost = slab + res_ns * resid / RESID_DEDUP_EST
             cands.append((cost, b, k, slab, resid, od, osrc, order, kk))
+    if not cands:  # every candidate hit the memory cap: tiers off
+        return (diag_b or 0, hot_k or 0)
     cands.sort(key=lambda c: c[0])
     # refine: exact unique-pair + unique-dst counts for the best few
     best = None
@@ -279,21 +294,23 @@ def build_hybrid(
 
     in_res = ~(in_diag | in_hot)
 
-    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
+        pack_slab_bits, transpose_slab,
+    )
 
-    # --- bit slabs ------------------------------------------------------
+    # --- bit slabs (stored transposed: [words, rows]) ---------------------
     if hot_k:
-        hot_bits = pack_slab_bits(
+        hot_bits = transpose_slab(pack_slab_bits(
             src[in_hot], hot_col[ci[in_hot]], num_rows, hot_k
-        )
+        ))
     else:
-        hot_bits = np.zeros((num_rows, 0), dtype=np.uint32)
+        hot_bits = np.zeros((0, num_rows), dtype=np.uint32)
     if diag_b:
-        diag_bits = pack_slab_bits(
+        diag_bits = transpose_slab(pack_slab_bits(
             src[in_diag], ci[in_diag] % diag_b, num_rows, diag_b
-        )
+        ))
     else:
-        diag_bits = np.zeros((num_rows, 0), dtype=np.uint32)
+        diag_bits = np.zeros((0, num_rows), dtype=np.uint32)
 
     # --- residual slot stream -------------------------------------------
     # One slot per unique (out-block, destination) pair; the multi-hot
@@ -351,8 +368,9 @@ def build_residual_stream(
     [0, col_space) — for the single-chip layout that's the same node space,
     for the sharded layout it's the per-device gather table (local block +
     received halo).  Returns ``(res_gather, res_dst, res_mask, res_t2b,
-    num_pairs)`` — one slot per unique (out-block, source) pair, multi-hot
-    row masks, tiles grouped per out-block (see HybridGraph fields).
+    num_pairs)`` — one slot per unique (out-block, source) pair,
+    TRANSPOSED multi-hot masks [words, M_pad] (lane-padding-free storage),
+    tiles grouped per out-block (see HybridGraph fields).
     """
     n_blocks = num_rows // res_ob
     words = res_ob // 32
@@ -360,7 +378,7 @@ def build_residual_stream(
         return (
             np.zeros(0, dtype=np.int32),
             np.zeros(0, dtype=np.int32),
-            np.zeros((0, words), dtype=np.uint32),
+            np.zeros((words, 0), dtype=np.uint32),
             np.zeros(0, dtype=np.int32),
             0,
         )
@@ -393,4 +411,4 @@ def build_residual_stream(
     res_dst[pos] = udst_c.astype(np.int32)
     res_mask[pos] = umask
     res_t2b = np.repeat(np.arange(n_blocks, dtype=np.int32), padded_b // res_tile)
-    return res_gather, res_dst, res_mask, res_t2b, u
+    return res_gather, res_dst, np.ascontiguousarray(res_mask.T), res_t2b, u

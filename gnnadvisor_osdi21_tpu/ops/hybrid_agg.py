@@ -39,12 +39,14 @@ from gnnadvisor_osdi21_tpu.graphs.hybrid import HybridGraph
 class HybridTensors:
     degrees: jax.Array  # [R] f32
     row_mask: jax.Array  # [R] f32
-    diag_bits: Optional[jax.Array]  # [R, B/32] uint32 or None
-    hot_bits: Optional[jax.Array]  # [R, K/32] uint32 or None
+    # bit arrays stored transposed ([words, rows/slots]) — see
+    # spmm_pallas module docstring (128-lane minor-dim padding)
+    diag_bits: Optional[jax.Array]  # [B/32, R] uint32 or None
+    hot_bits: Optional[jax.Array]  # [K/32, R] uint32 or None
     hot_ids: Optional[jax.Array]  # [K] int32 or None
     res_gather: Optional[jax.Array]  # [Ud] int32 unique dst rows (stage 1)
     res_dst: Optional[jax.Array]  # [M_pad] int32 into res_gather (stage 2)
-    res_mask: Optional[jax.Array]  # [M_pad, res_ob/32] uint32 multi-hot
+    res_mask: Optional[jax.Array]  # [res_ob/32, M_pad] uint32 multi-hot
     res_t2b: Optional[jax.Array]  # [T] int32 tile -> out-block
     # static layout
     num_rows: int = 0
@@ -146,14 +148,13 @@ def _diag_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
             ht.diag_bits, x, ht.diag_b,
             block_rows=ht.block_rows, feature_tile=ht.feature_tile,
         )
-    # Reference path (CPU tests): explicit unpack, same bit-major layout.
+    # Reference path (CPU tests): explicit unpack of the transposed slab.
     b = ht.diag_b
     nb = ht.num_rows // b
     w32 = b // 32
     j = jnp.arange(b)
-    a = ((ht.diag_bits[:, j % w32] >> (j // w32).astype(jnp.uint32)) & 1).astype(
-        x.dtype
-    )
+    a = ((ht.diag_bits[j % w32, :].T >> (j // w32).astype(jnp.uint32)[None, :])
+         & 1).astype(x.dtype)  # [R, B]
     return jnp.einsum(
         "gbc,gcd->gbd",
         a.reshape(nb, b, b),
@@ -175,9 +176,8 @@ def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
     k = ht.hot_k
     w32 = k // 32
     j = jnp.arange(k)
-    a = ((ht.hot_bits[:, j % w32] >> (j // w32).astype(jnp.uint32)) & 1).astype(
-        x.dtype
-    )
+    a = ((ht.hot_bits[j % w32, :].T >> (j // w32).astype(jnp.uint32)[None, :])
+         & 1).astype(x.dtype)  # [R, K]
     return jnp.matmul(a, x_hot, preferred_element_type=jnp.float32)
 
 
@@ -209,13 +209,13 @@ def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
         return jnp.where(
             jnp.repeat(visited, ht.res_ob)[:, None], out, 0.0
         ).astype(out.dtype)
-    # Reference path (CPU tests): same bit-major mask layout, explicit
-    # unpack + einsum + one fat-row segment_sum over tiles.
+    # Reference path (CPU tests): same transposed bit-major mask layout,
+    # explicit unpack + einsum + one fat-row segment_sum over tiles.
     rows = rows.reshape(t, ht.res_tile, d)
     j = jnp.arange(ht.res_ob)
     oh = (
-        (ht.res_mask.reshape(t, ht.res_tile, words)[:, :, j % words]
-         >> (j // words).astype(jnp.uint32)) & 1
+        (ht.res_mask[j % words, :].T.reshape(t, ht.res_tile, ht.res_ob)
+         >> (j // words).astype(jnp.uint32)[None, None, :]) & 1
     ).astype(x.dtype)  # [T, S, OB]
     chunks = jnp.einsum(
         "tso,tsd->tod", oh, rows, preferred_element_type=jnp.float32

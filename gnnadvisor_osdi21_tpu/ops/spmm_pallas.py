@@ -1,8 +1,8 @@
 """Pallas TPU bit-slab matmul kernels for the hybrid aggregation tiers.
 
-``slab_matmul`` computes ``out = unpack_bits(A_bits) @ X`` where
-``A_bits[R, K/32]`` holds one adjacency bit per (output row, slab column).
-Two wirings share the kernel body:
+``slab_matmul`` computes ``out = unpack_bits(A_bits) @ X`` where the bit
+slab holds one adjacency bit per (output row, slab column).  Two wirings
+share the kernel body:
 
 - **hot** (``table_block_rows=None``): every grid row-block multiplies
   against the same global table ``x[K, D]`` (the gathered hot-node
@@ -13,17 +13,31 @@ Two wirings share the kernel body:
   ``i`` is the matching contiguous slice ``x[blk*B:(blk+1)*B]`` — zero
   gathers; community reordering packs edges into these blocks.
 
+**Storage layout — transposed, [K/32, R] uint32.**  TPU tiled layouts pad
+the minor dimension of every array to 128 lanes, so a row-major
+``[R, K/32]`` slab narrower than 128 words is stored AND streamed at up
+to 8-16x its logical bytes (measured: a 512-column slab at 1.89M rows
+materialized 923 MB and OOM'd the SW-620H GIN run).  Keeping rows on the
+*lane* axis makes the physical bytes exactly the logical bytes for every
+slab width.  Within a word the layout is bit-major: column ``j`` lives in
+word ``j % W32`` at bit ``j // W32``, so one ``pltpu.repeat(..., 32,
+axis=0)`` plus a per-sublane shift unpacks a whole tile.
+
 This is the MXU re-expression of the reference's warp-level aggregation
 (GNNAdvisor_kernel.cu:324-415): instead of warps gathering neighbor rows
 through HBM and flushing with ``atomicAdd_F`` (:12-17), every grid step
 
-1. DMAs a ``[block_rows, K/32]`` uint32 slab tile into VMEM (the only HBM
+1. DMAs a ``[K/32, block_rows]`` uint32 slab tile into VMEM (the only HBM
    traffic that scales with the graph: K/8 bytes per row),
-2. unpacks it to a ``[block_rows, K]`` 0/1 f32 matrix with two vector ops
-   (lane-repeat + shift/mask — no HBM traffic),
-3. multiplies against the VMEM-resident x tile on the MXU (f32: the 0/1
-   values and the sums are exact, so results match the oracle bitwise
-   modulo addition order).
+2. unpacks it to a ``[K, block_rows]`` 0/1 matrix with two vector ops
+   (sublane-repeat + shift/mask — no HBM traffic),
+3. contracts the K axis against the VMEM-resident x tile on the MXU.
+
+**Precision**: TPU MXU dots default to bf16 operands.  f32 operands are
+contracted at ``precision=HIGHEST`` (multi-pass, exact for 0/1 x f32 —
+measured max err 1.9e-6 vs 2.4e-2 at default), so ``agg_dtype="float32"``
+keeps its matches-the-oracle contract on hardware; bf16 operands use the
+native fast path.
 
 No atomics, no gathers, fully deterministic.  The kernel geometry
 (``block_rows`` rows per grid step — the warpPerBlock/sharedMem analog —
@@ -45,25 +59,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _unpack_tile(bits_ref, shift_ref, dtype):
-    """Unpack a [TR, W32] uint32 slab tile to a [TR, K] 0/1 matrix.
+def _precision(dtype):
+    """Exact contraction for f32 operands; native fast path for bf16."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
-    Bit-major column layout: column j lives in word j % W32 at bit
-    j // W32 — chosen because pltpu.repeat TILES its input, so one
-    repeat + one shift unpacks the whole slab tile.  The shift row
-    (j // W32) is a precomputed input: no per-element iota/division.
+
+def _unpack_tile_t(bits_ref, shift_ref, dtype):
+    """Unpack a transposed [W32, TR] uint32 slab tile to [K, TR] 0/1.
+
+    Bit-major layout: column j lives in word j % W32 at bit j // W32 —
+    chosen because ``pltpu.repeat(..., 32, axis=0)`` tiles the words down
+    the sublane axis, so one repeat + one per-sublane shift unpacks the
+    whole tile.  The shift column (j // W32) is a precomputed input.
     0/1 uint32 -> f32 without int casts: 1.0f is 0x3F800000, so a single
     integer multiply + bitcast materializes the float matrix."""
-    words = pltpu.repeat(bits_ref[:], 32, axis=1)  # [TR, K]
+    words = pltpu.repeat(bits_ref[:], 32, axis=0)  # [K, TR]
     bit = (words >> shift_ref[:]) & 1
     a = pltpu.bitcast(bit * jnp.uint32(0x3F800000), jnp.float32)
     return a if dtype == jnp.float32 else a.astype(dtype)
 
 
+def _contract(a_t, x, dtype):
+    """out[R_tile, D] = a_t[K, R_tile]^T @ x[K, D], K on the MXU."""
+    return jax.lax.dot_general(
+        a_t, x, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(dtype),
+    )
+
+
 def _slab_kernel(bits_ref, shift_ref, x_ref, out_ref):
-    """One grid step: unpack a rows-tile of the bit slab, dot with x."""
-    a = _unpack_tile(bits_ref, shift_ref, x_ref.dtype)
-    out_ref[:] = jnp.dot(a, x_ref[:], preferred_element_type=jnp.float32)
+    """One grid step: unpack a rows-tile of the bit slab, contract with x."""
+    a_t = _unpack_tile_t(bits_ref, shift_ref, x_ref.dtype)
+    out_ref[:] = _contract(a_t, x_ref[:], x_ref.dtype)
 
 
 @functools.partial(
@@ -71,15 +103,15 @@ def _slab_kernel(bits_ref, shift_ref, x_ref, out_ref):
     static_argnames=("table_block_rows", "block_rows", "feature_tile", "interpret"),
 )
 def slab_matmul(
-    bits: jax.Array,  # [R, K/32] uint32, bit-major
-    x: jax.Array,  # [K, D] (hot) or [R, D] (diagonal) float32
+    bits_t: jax.Array,  # [K/32, R] uint32, transposed bit-major
+    x: jax.Array,  # [K, D] (hot) or [R, D] (diagonal)
     table_block_rows: int | None = None,
     block_rows: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[R, D] f32 = unpack(bits) @ x (global or block-local table)."""
-    r, w32 = bits.shape
+    """out[R, D] f32 = unpack(bits_t)^T @ x (global or block-local table)."""
+    w32, r = bits_t.shape
     k = w32 * 32
     t, d = x.shape
     if table_block_rows is None:
@@ -112,7 +144,7 @@ def slab_matmul(
         blocks_per_diag = table_block_rows // block_rows
         x_index = lambda i, j: (i // blocks_per_diag, j)
 
-    shift_row = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[None, :]
+    shift_col = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[:, None]
     out = pl.pallas_call(
         _slab_kernel,
         out_shape=jax.ShapeDtypeStruct((r, dp), jnp.float32),
@@ -120,9 +152,9 @@ def slab_matmul(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (block_rows, w32), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (w32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((k, td), x_index, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -135,51 +167,51 @@ def slab_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bits, shift_row, x)
+    )(bits_t, shift_col, x)
     return out[:, :d] if dp != d else out
 
 
 def hot_slab_matmul(
-    bits: jax.Array,
+    bits_t: jax.Array,
     x_hot: jax.Array,
     block_rows: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[R, D] = unpack(bits) @ x_hot — global-table wiring."""
+    """out[R, D] = unpack(bits_t)^T @ x_hot — global-table wiring."""
     return slab_matmul(
-        bits, x_hot, table_block_rows=None, block_rows=block_rows,
+        bits_t, x_hot, table_block_rows=None, block_rows=block_rows,
         feature_tile=feature_tile, interpret=interpret,
     )
 
 
 def diag_slab_matmul(
-    bits: jax.Array,
+    bits_t: jax.Array,
     x: jax.Array,
     diag_b: int,
     block_rows: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[R, D] = blockdiag-unpack(bits) @ x — block-local-table wiring."""
+    """out[R, D] = blockdiag-unpack(bits_t)^T @ x — block-local wiring."""
     return slab_matmul(
-        bits, x, table_block_rows=diag_b,
+        bits_t, x, table_block_rows=diag_b,
         block_rows=min(block_rows, diag_b), feature_tile=feature_tile,
         interpret=interpret,
     )
 
 
 def _fused_kernel(db_ref, dshift_ref, hb_ref, hshift_ref, x_ref, xh_ref, out_ref):
-    """One grid step: unpack BOTH slabs, two MXU dots, one output write.
+    """One grid step: unpack BOTH slabs, two MXU contractions, one write.
 
     The measured slab cost is ``rows·(a + b·K)`` with a ≈ 4.7 ns/row
     dominating at practical K — fusing the diagonal and hot tiers into one
     pallas_call pays the fixed per-row cost once instead of twice."""
-    da = _unpack_tile(db_ref, dshift_ref, x_ref.dtype)
-    ha = _unpack_tile(hb_ref, hshift_ref, xh_ref.dtype)
-    out_ref[:] = jnp.dot(
-        da, x_ref[:], preferred_element_type=jnp.float32
-    ) + jnp.dot(ha, xh_ref[:], preferred_element_type=jnp.float32)
+    da = _unpack_tile_t(db_ref, dshift_ref, x_ref.dtype)
+    ha = _unpack_tile_t(hb_ref, hshift_ref, xh_ref.dtype)
+    out_ref[:] = _contract(da, x_ref[:], x_ref.dtype) + _contract(
+        ha, xh_ref[:], xh_ref.dtype
+    )
 
 
 @functools.partial(
@@ -187,20 +219,19 @@ def _fused_kernel(db_ref, dshift_ref, hb_ref, hshift_ref, x_ref, xh_ref, out_ref
     static_argnames=("diag_b", "block_rows", "feature_tile", "interpret"),
 )
 def fused_slab_matmul(
-    diag_bits: jax.Array,  # [R, B/32] uint32, block-local columns
-    hot_bits: jax.Array,  # [R, K/32] uint32, global hot columns
-    x: jax.Array,  # [R, D] float32 (diag operand, sliced per block)
-    x_hot: jax.Array,  # [K, D] float32 (gathered hot table)
+    diag_bits_t: jax.Array,  # [B/32, R] uint32, block-local columns
+    hot_bits_t: jax.Array,  # [K/32, R] uint32, global hot columns
+    x: jax.Array,  # [R, D] (diag operand, sliced per block)
+    x_hot: jax.Array,  # [K, D] (gathered hot table)
     diag_b: int,
     block_rows: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """out[R, D] = blockdiag-unpack(diag_bits) @ x + unpack(hot_bits) @ x_hot
-    in a single row pass."""
-    r, dw32 = diag_bits.shape
+    """out[R, D] = blockdiag(diag)^T @ x + hot^T @ x_hot, one row pass."""
+    dw32, r = diag_bits_t.shape
     b = dw32 * 32
-    _, hw32 = hot_bits.shape
+    hw32, _ = hot_bits_t.shape
     k = hw32 * 32
     t, d = x_hot.shape
     assert b == diag_b and t == k and x.shape[0] == r
@@ -219,8 +250,8 @@ def fused_slab_matmul(
     grid = (r // block_rows, dp // td)
     bpd = diag_b // block_rows
 
-    dshift = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(dw32))[None, :]
-    hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[None, :]
+    dshift = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(dw32))[:, None]
+    hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[:, None]
     out = pl.pallas_call(
         _fused_kernel,
         out_shape=jax.ShapeDtypeStruct((r, dp), jnp.float32),
@@ -228,13 +259,13 @@ def fused_slab_matmul(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (block_rows, dw32), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (dw32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, b), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (block_rows, hw32), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (hw32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (b, td), lambda i, j: (i // bpd, j), memory_space=pltpu.VMEM
                 ),
@@ -251,12 +282,12 @@ def fused_slab_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(diag_bits, dshift, hot_bits, hshift, x, x_hot)
+    )(diag_bits_t, dshift, hot_bits_t, hshift, x, x_hot)
     return out[:, :d] if dp != d else out
 
 
 def _resid_kernel(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
-    """One grid step = one residual tile: unpack the [S, OB] multi-hot
+    """One grid step = one residual tile: unpack the [OB, S] multi-hot
     mask, contract the slot axis on the MXU, accumulate into the tile's
     output block.  Tiles are grouped per block (t2b sorted), so the output
     block stays resident in VMEM across its tiles and flushes once."""
@@ -264,15 +295,17 @@ def _resid_kernel(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
     prev = t2b_ref[jnp.maximum(t - 1, 0)]
     first = jnp.logical_or(t == 0, t2b_ref[t] != prev)
 
-    a = _unpack_tile(mask_ref, shift_ref, rows_ref.dtype)  # [S, OB]
+    a_t = _unpack_tile_t(mask_ref, shift_ref, rows_ref.dtype)  # [OB, S]
 
     @pl.when(first)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jax.lax.dot_general(
-        a, rows_ref[:], (((0,), (0,)), ((), ())),
+    # out[OB, D] += a_t @ rows ([OB, S] x [S, D])
+    out_ref[:] += jnp.dot(
+        a_t, rows_ref[:],
         preferred_element_type=jnp.float32,
+        precision=_precision(rows_ref.dtype),
     )
 
 
@@ -281,7 +314,7 @@ def _resid_kernel(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
 )
 def residual_combine(
     rows: jax.Array,  # [M_pad, D] gathered slot rows (pad slots: any value)
-    mask: jax.Array,  # [M_pad, OB/32] uint32 multi-hot, bit-major (0 on pads)
+    mask_t: jax.Array,  # [OB/32, M_pad] uint32 multi-hot, transposed (0 on pads)
     t2b: jax.Array,  # [T] int32 tile -> out-block, sorted ascending
     num_rows: int,
     res_ob: int,
@@ -303,7 +336,7 @@ def residual_combine(
     m_pad, d = rows.shape
     t = t2b.shape[0]
     s = m_pad // max(t, 1)
-    words = mask.shape[1]
+    words = mask_t.shape[0]
     assert words * 32 == res_ob and t * s == m_pad
     n_blocks = num_rows // res_ob
 
@@ -311,7 +344,7 @@ def residual_combine(
     if dp != d:
         rows = jnp.pad(rows, ((0, 0), (0, dp - d)))
 
-    shift_row = (jnp.arange(res_ob, dtype=jnp.uint32) // jnp.uint32(words))[None, :]
+    shift_col = (jnp.arange(res_ob, dtype=jnp.uint32) // jnp.uint32(words))[:, None]
     out = pl.pallas_call(
         _resid_kernel,
         out_shape=jax.ShapeDtypeStruct((num_rows, dp), jnp.float32),
@@ -320,11 +353,11 @@ def residual_combine(
             grid=(t,),
             in_specs=[
                 pl.BlockSpec(
-                    (s, words), lambda i, t2b_ref: (i, 0),
+                    (words, s), lambda i, t2b_ref: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, res_ob), lambda i, t2b_ref: (0, 0),
+                    (res_ob, 1), lambda i, t2b_ref: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -343,13 +376,14 @@ def residual_combine(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(t2b, mask, shift_row, rows)
+    )(t2b, mask_t, shift_col, rows)
     return out[:, :d] if dp != d else out
 
 
 def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):
-    """Host-side slab builder: set bit for each (row, column) pair using
-    the kernel's bit-major layout (column j → word j % (K/32), bit j // (K/32))."""
+    """Host-side slab builder, row-major [R, K/32] (the oracle/test view).
+    Column j -> word j % (K/32), bit j // (K/32).  Device layouts store
+    the transpose (see module docstring); use ``transpose_slab``."""
     import numpy as np
 
     w32 = k // 32
@@ -360,8 +394,15 @@ def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int
     return bits
 
 
+def transpose_slab(bits: "np.ndarray"):
+    """[R, W32] row-major -> contiguous [W32, R] device layout."""
+    import numpy as np
+
+    return np.ascontiguousarray(bits.T)
+
+
 def unpack_slab(bits: "np.ndarray", k: int):
-    """Oracle unpack (tests): [R, K/32] uint32 → [R, K] 0/1 float32."""
+    """Oracle unpack (tests): row-major [R, K/32] uint32 → [R, K] 0/1 f32."""
     import numpy as np
 
     w32 = k // 32

@@ -48,13 +48,14 @@ class HybridShardedGraph:
     hot_k: int
     res_tile: int
     res_ob: int
-    # all arrays lead with [ndev]
-    diag_bits: np.ndarray  # [ndev, B, diag_b/32] uint32 (cols local to block)
+    # all arrays lead with [ndev]; bit arrays transposed ([words, rows])
+    # to dodge the 128-lane minor-dim padding (spmm_pallas docstring)
+    diag_bits: np.ndarray  # [ndev, diag_b/32, B] uint32 (cols local to block)
     hot_ids: np.ndarray  # [ndev, K] int32 — TABLE row ids
-    hot_bits: np.ndarray  # [ndev, B, K/32] uint32
+    hot_bits: np.ndarray  # [ndev, K/32, B] uint32
     res_gather: np.ndarray  # [ndev, Ug] int32 — TABLE row ids (stage 1)
     res_dst: np.ndarray  # [ndev, M] int32 into res_gather (stage 2)
-    res_mask: np.ndarray  # [ndev, M, res_ob/32] uint32 multi-hot
+    res_mask: np.ndarray  # [ndev, res_ob/32, M] uint32 multi-hot
     res_t2b: np.ndarray  # [ndev, T] int32 tile -> out-block (sorted)
     send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 rows to ship
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees
@@ -122,7 +123,9 @@ def shard_graph_hybrid(
             ids = need[d][e]
             send_idx[e, d, : len(ids)] = (ids - e * block).astype(np.int32)
 
-    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
+        pack_slab_bits, transpose_slab,
+    )
 
     # --- per-device layout build ------------------------------------------
     per = []
@@ -146,13 +149,13 @@ def shard_graph_hybrid(
             pos = np.searchsorted(need[d][e], dst_g[sel])
             col_t[sel] = block + e * h_max + pos
 
-        # diagonal tier: block-local columns
+        # diagonal tier: block-local columns (transposed storage)
         if diag_b:
-            diag_bits = pack_slab_bits(
+            diag_bits = transpose_slab(pack_slab_bits(
                 s_l[dloc], (dst_g[dloc] % diag_b), block, diag_b
-            )
+            ))
         else:
-            diag_bits = np.zeros((block, 0), dtype=np.uint32)
+            diag_bits = np.zeros((0, block), dtype=np.uint32)
 
         # hot tier: top-K table ids among off-diagonal edges
         od_cols = col_t[~dloc]
@@ -166,12 +169,12 @@ def shard_graph_hybrid(
             hot_col = np.full(table, -1, dtype=np.int64)
             hot_col[top] = np.arange(len(top))
             is_hot = hot_col[od_cols] >= 0
-            hot_bits = pack_slab_bits(
+            hot_bits = transpose_slab(pack_slab_bits(
                 od_rows[is_hot], hot_col[od_cols[is_hot]], block, hot_k
-            )
+            ))
         else:
             hot_ids = np.zeros(0, dtype=np.int32)
-            hot_bits = np.zeros((block, 0), dtype=np.uint32)
+            hot_bits = np.zeros((0, block), dtype=np.uint32)
             is_hot = np.zeros(len(od_cols), dtype=bool)
 
         rg, rd_, rm, rt, _pairs = build_residual_stream(
@@ -189,12 +192,12 @@ def shard_graph_hybrid(
     dw = diag_b // 32
     n_blocks = block // res_ob
 
-    diag_bits = np.zeros((num_devices, block, dw), dtype=np.uint32)
+    diag_bits = np.zeros((num_devices, dw, block), dtype=np.uint32)
     hot_ids = np.zeros((num_devices, hot_k), dtype=np.int32)
-    hot_bits = np.zeros((num_devices, block, kw), dtype=np.uint32)
+    hot_bits = np.zeros((num_devices, kw, block), dtype=np.uint32)
     res_gather = np.zeros((num_devices, ug_max), dtype=np.int32)
     res_dst = np.zeros((num_devices, m_max), dtype=np.int32)
-    res_mask = np.zeros((num_devices, m_max, words), dtype=np.uint32)
+    res_mask = np.zeros((num_devices, words, m_max), dtype=np.uint32)
     res_t2b = np.full((num_devices, t_max), n_blocks - 1, dtype=np.int32)
     for d, (db, hi, hb, rg, rd_, rm, rt) in enumerate(per):
         diag_bits[d, :, :] = db
@@ -202,7 +205,7 @@ def shard_graph_hybrid(
         hot_bits[d, :, :] = hb
         res_gather[d, : len(rg)] = rg
         res_dst[d, : len(rd_)] = rd_
-        res_mask[d, : len(rm)] = rm
+        res_mask[d, :, : rm.shape[1]] = rm
         # padded tail tiles (initialized to n_blocks-1 ≥ any real t2b) keep
         # the per-device tile->block map sorted; their masks are all-zero
         res_t2b[d, : len(rt)] = rt

@@ -48,7 +48,7 @@ def test_layout_accounts_every_edge(hybrid_setup):
     # every residual edge is exactly one multi-hot bit
     assert _popcount(hg.res_mask) == hg.num_res_edges
     assert hg.num_res_pairs <= hg.num_res_edges
-    real_slots = int((hg.res_mask != 0).any(axis=1).sum())
+    real_slots = int((hg.res_mask != 0).any(axis=0).sum())
     assert real_slots == hg.num_res_pairs
     assert hg.num_hot_edges + hg.num_diag_edges + hg.num_res_edges == g.nnz
 

@@ -9,7 +9,8 @@ as wrong TPU bench numbers (unitest.py:9-63 analog at the kernel level).
 import numpy as np
 
 from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
-    diag_slab_matmul, hot_slab_matmul, pack_slab_bits, unpack_slab,
+    diag_slab_matmul, hot_slab_matmul, pack_slab_bits, transpose_slab,
+    unpack_slab,
 )
 
 
@@ -25,7 +26,7 @@ def test_hot_slab_matmul_interpret_matches_oracle():
     bits = _random_slab(rng, r, k, 800)
     x = rng.standard_normal((k, d)).astype(np.float32)
     want = unpack_slab(bits, k) @ x
-    got = np.asarray(hot_slab_matmul(bits, x, block_rows=64, interpret=True))
+    got = np.asarray(hot_slab_matmul(transpose_slab(bits), x, block_rows=64, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
@@ -37,7 +38,7 @@ def test_hot_slab_matmul_feature_tiling():
     want = unpack_slab(bits, k) @ x
     # d=300 > feature_tile=128 forces a 3-step lane grid (128-lane tiles)
     got = np.asarray(
-        hot_slab_matmul(bits, x, block_rows=64, feature_tile=128, interpret=True)
+        hot_slab_matmul(transpose_slab(bits), x, block_rows=64, feature_tile=128, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
@@ -55,7 +56,7 @@ def test_diag_slab_matmul_interpret_matches_oracle():
         a[i : i + b] @ x[i : i + b] for i in range(0, r, b)
     ])
     got = np.asarray(
-        diag_slab_matmul(bits, x, diag_b=b, block_rows=64, interpret=True)
+        diag_slab_matmul(transpose_slab(bits), x, diag_b=b, block_rows=64, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
@@ -88,7 +89,7 @@ def test_fused_slab_matmul_interpret_matches_oracle():
         da[i : i + b] @ x[i : i + b] for i in range(0, r, b)
     ]) + unpack_slab(hbits, k) @ xh
     got = np.asarray(fused_slab_matmul(
-        dbits, hbits, x, xh, diag_b=b, block_rows=64, interpret=True
+        transpose_slab(dbits), transpose_slab(hbits), x, xh, diag_b=b, block_rows=64, interpret=True
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
