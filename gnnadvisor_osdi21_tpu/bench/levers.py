@@ -38,6 +38,9 @@ def main(argv=None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv
+    base_dtype = (
+        argv[argv.index("--dtype") + 1] if "--dtype" in argv else "float32"
+    )
     dim = 16
     graph = _bench_graph(dim)
     import numpy as np
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
     )
     print(f"# cost-model choice: diag_b={auto_b} hot_k={auto_k}", flush=True)
 
-    def run(tag, hg, block_rows=512, feature_tile=128, agg_dtype="float32"):
+    def run(tag, hg, block_rows=512, feature_tile=128, agg_dtype=None):
+        agg_dtype = agg_dtype or base_dtype
         ht = build_hybrid_tensors(
             hg, block_rows=block_rows, feature_tile=feature_tile,
             agg_dtype=agg_dtype,
@@ -74,9 +78,11 @@ def main(argv=None) -> int:
 
     results = []
 
-    # 1) tier grid around the auto choice (incl. 8192 second-tier sizes)
-    b_grid = sorted({auto_b, 2048, 4096, 8192} - {0})
-    k_grid = sorted({auto_k, 2048, 4096, 8192} - {0})
+    # 1) tier grid around the auto choice (8192 slabs exceed VMEM at
+    # practical block_rows — measured Mosaic compile failures — so the
+    # grid tops out at 4096)
+    b_grid = sorted({auto_b, 512, 1024, 2048, 4096} - {0})
+    k_grid = sorted({auto_k, 512, 1024, 2048, 4096} - {0})
     if quick:
         b_grid, k_grid = [auto_b or 2048], sorted({auto_k or 4096, 8192})
     layouts = {}
@@ -98,7 +104,8 @@ def main(argv=None) -> int:
         results.append(run(f"block_rows={br}", hg, block_rows=br))
 
     # 3) compute dtype
-    results.append(run("agg_dtype=bfloat16", hg, agg_dtype="bfloat16"))
+    other = "float32" if base_dtype == "bfloat16" else "bfloat16"
+    results.append(run(f"agg_dtype={other}", hg, agg_dtype=other))
 
     # 4) residual tiling
     if not quick:

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hybrid diagonal-tier block rows (-1 = cost model, 0 = off)")
     p.add_argument("--hotK", type=int, default=-1,
                    help="hybrid hot-tier slab columns (-1 = cost model, 0 = off)")
+    p.add_argument("--agg_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="hybrid-tier compute dtype (f32 accumulate either "
+                        "way; float32 = exact multi-pass MXU)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_ckpt", type=str, default="",
                    help="save (params, opt_state, step) to this path after training")
@@ -152,6 +156,7 @@ def main(argv=None) -> int:
         enable_reorder=args.enable_rabbit == "True",
         manual_mode=args.manual_mode == "True",
         verbose=verbose,
+        agg_dtype=args.agg_dtype,
     ).decider()
 
     # -- multi-chip path --------------------------------------------------

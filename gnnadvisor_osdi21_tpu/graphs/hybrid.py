@@ -51,14 +51,18 @@ import numpy as np
 
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 
-# Measured cost-model constants (v5e, bench/fmtprobe.py + slab-law sweep
-# 2026-08-17).  One slab pass over R rows with C total columns costs
-# R·(SLAB_A + SLAB_B·C); the diagonal and hot slabs share one pass
-# (fused_slab_matmul), so SLAB_A is paid once.
-SLAB_A_NS = 4.7  # fixed per-row cost of a slab pass
-SLAB_B_NS = 0.00123  # per (row, column) slot
-GATHER_NS_PER_ROW = 5.0  # XLA take from a <~150k-row table (stage 2)
-GATHER_BIG_NS = 9.4  # XLA take from a >~300k-row table (stage 1)
+# Measured cost-model constants, refit by non-negative least squares on the
+# 20-point bf16 (diag_b, hot_k) sweep of 2026-08-18 (bench/levers.py grid +
+# diag-only/hot-only/off corners on the amazon0505-scale graph, v5e; max
+# rel. error 8.8%, correct ranking of the measured frontier).  One slab
+# pass over R rows with C total columns costs R·(SLAB_A + SLAB_B·C); the
+# diagonal and hot slabs share one pass (fused_slab_matmul), so SLAB_A is
+# paid once.  The residual tier pays per unique (out-block, dst) pair
+# (stage-2 gather + combine) and per unique dst row (stage-1 gather).
+SLAB_A_NS = 7.3  # fixed per-output-row pipeline cost (always charged)
+SLAB_B_NS = 0.00158  # per (row, column) slot
+GATHER_NS_PER_ROW = 3.5  # XLA take from a <~150k-row table (stage 2)
+GATHER_BIG_NS = 3.1  # XLA take from a >~300k-row table (stage 1)
 RESID_COMBINE_NS = 1.5  # mask unpack + multi-hot einsum + fat segment_sum
 RESID_DEDUP_EST = 1.5  # typical (out-block, dst) sharing; refined exactly
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
@@ -67,8 +71,11 @@ HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
 # tier choices from dedicating most of HBM to adjacency bits anyway.
 SLAB_MEM_CAP_BYTES = 3 << 30  # auto tiers may not spend >3 GB on bit slabs
 
-DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
-HOT_CANDIDATES = (0, 512, 1024, 2048, 4096, 8192)
+# 8192-wide slabs exceed VMEM at practical block_rows (measured Mosaic
+# compile failures, levers sweep 2026-08-18), so auto search tops out at
+# 4096; explicit hot_k/diag_b values still pass through.
+DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096)
+HOT_CANDIDATES = (0, 512, 1024, 2048, 4096)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -173,13 +180,17 @@ def choose_tiers(
     res_ob: int = 256,
 ) -> tuple[int, int]:
     """Jointly pick (diag_b, hot_k) minimizing the measured cost
-    ``R·(SLAB_A + SLAB_B·(B+K)) + (GATHER+COMBINE)·unique_pairs(B,K)``.
+    ``R·(SLAB_A + SLAB_B·(B+K)) + res_ns·unique_pairs(B,K)
+    + GATHER_BIG·unique_dst(B,K)``.
 
-    Two phases: a coarse pass prices the residual with the typical dedup
-    estimate; the top candidates are re-priced with the exact unique
-    (out-block, dst) pair count (the quantity the residual kernel
-    actually pays for).  Fixing either parameter (manual mode) restricts
-    the search to the other; fixing both passes through (param.py:58-70).
+    Every feasible candidate is priced with the *exact* unique
+    (out-block, dst) pair and unique dst counts — the quantities the
+    residual kernel actually pays for.  (An earlier coarse pass with a
+    fixed dedup estimate systematically under-ranked small tiers, whose
+    residuals dedup 3-5x; exact counts cost ~0.2 s/candidate on a 3.4M-
+    edge graph, paid once per layout build.)  Fixing either parameter
+    (manual mode) restricts the search to the other; fixing both passes
+    through (param.py:58-70).
     """
     e = len(src)
     if e == 0:
@@ -188,7 +199,7 @@ def choose_tiers(
         return diag_b, hot_k
     res_ns = GATHER_NS_PER_ROW + RESID_COMBINE_NS
     b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
-    cands = []
+    best = None
     for b in b_cands:
         # skip oversized *auto* candidates only: a manually fixed diag_b
         # passes through (build_hybrid rounds num_rows up to it)
@@ -199,51 +210,46 @@ def choose_tiers(
             od, osrc = dst[off], src[off]
         else:
             od, osrc = dst, src
-        n_diag = e - len(od)
         rows = _round_up(max(num_nodes, 1), max(b, 512))
         # hot curve on off-diagonal edges only: hubs that are mostly local
         # do not earn a hot column
         counts = np.bincount(od, minlength=num_nodes)
         order = np.argsort(counts)[::-1]
-        csum = np.cumsum(counts[order])
         k_cands = HOT_CANDIDATES if hot_k is None else (hot_k,)
         for k in k_cands:
             if k > num_nodes and k != (hot_k or 0):
                 continue
             kk = min(k, num_nodes)
-            covered = int(csum[kk - 1]) if kk else 0
-            resid = e - n_diag - covered
             bits_bytes_per_row = (b + k) // 8
             if rows * bits_bytes_per_row > SLAB_MEM_CAP_BYTES:
                 continue  # candidate would blow the HBM budget
+            # SLAB_A is charged even with both tiers off: it is the fixed
+            # per-output-row pipeline cost (block accumulate + final
+            # combine), which the fit attributes per row regardless.
             slab = rows * (
-                (SLAB_A_NS if (b or k) else 0.0)
+                SLAB_A_NS
                 + SLAB_B_NS * (b + k)
                 # streaming the bit rows from HBM each pass
                 + bits_bytes_per_row / HBM_BYTES_PER_NS
             )
-            cost = slab + res_ns * resid / RESID_DEDUP_EST
-            cands.append((cost, b, k, slab, resid, od, osrc, order, kk))
-    if not cands:  # every candidate hit the memory cap: tiers off
+            if len(od):
+                hot = np.zeros(num_nodes, dtype=bool)
+                if kk:
+                    hot[order[:kk]] = True
+                keep = ~hot[od]
+                pairs = (
+                    (osrc[keep] // res_ob) * np.int64(num_nodes + 1)
+                    + od[keep]
+                )
+                uniq = len(np.unique(pairs))
+                uniq_dst = len(np.unique(od[keep]))
+            else:
+                uniq = uniq_dst = 0
+            cost = slab + res_ns * uniq + GATHER_BIG_NS * uniq_dst
+            if best is None or cost < best[0]:
+                best = (cost, b, k)
+    if best is None:  # every candidate hit the memory cap: tiers off
         return (diag_b or 0, hot_k or 0)
-    cands.sort(key=lambda c: c[0])
-    # refine: exact unique-pair + unique-dst counts for the best few
-    best = None
-    for _, b, k, slab, resid, od, osrc, order, kk in cands[:3]:
-        if resid:
-            hot = np.zeros(num_nodes, dtype=bool)
-            if kk:
-                hot[order[:kk]] = True
-            keep = ~hot[od]
-            pairs = (osrc[keep] // res_ob) * np.int64(num_nodes + 1) + od[keep]
-            uniq = len(np.unique(pairs))
-            uniq_dst = len(np.unique(od[keep]))
-        else:
-            uniq = uniq_dst = 0
-        cost = slab + res_ns * uniq + GATHER_BIG_NS * uniq_dst
-        if best is None or cost < best[0]:
-            best = (cost, b, k)
-    assert best is not None
     return best[1], best[2]
 
 

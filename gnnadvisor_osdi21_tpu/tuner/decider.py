@@ -93,7 +93,15 @@ class InputProperty:
         enable_reorder: bool = False,
         manual_mode: bool = False,
         verbose: bool = False,
+        agg_dtype: str = "bfloat16",
     ):
+        # agg_dtype: compute dtype for the hybrid tier contractions
+        # (accumulation is always f32).  "bfloat16" is the TPU-native
+        # default — the 0/1 adjacency and all-ones verification fixtures
+        # are exact in bf16, features round at ~3e-3 relative — and is
+        # ~2.3x faster than "float32", whose MXU contraction runs
+        # multi-pass at precision=HIGHEST to honor exact-f32 semantics
+        # (measured in bench/levers.py).
         self.graph = graph
         self.input_dim = graph.num_features
         self.hidden_dim = hidden_dim
@@ -108,6 +116,7 @@ class InputProperty:
         self.enable_reorder = enable_reorder
         self.manual_mode = manual_mode
         self.verbose = verbose
+        self.agg_dtype = agg_dtype
 
         self.reorder_status = False
         self.layer_input: Optional[LayerConfig] = None
@@ -267,6 +276,7 @@ class InputProperty:
             gt_in = build_hybrid_tensors(
                 self.hybrid_graph, device=device,
                 block_rows=li.block_parts, feature_tile=li.feature_tile,
+                agg_dtype=self.agg_dtype,
             )
             gt_hid = with_geometry(gt_in, lh.block_parts, lh.feature_tile)
             return gt_in, gt_hid
