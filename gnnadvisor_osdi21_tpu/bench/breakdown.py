@@ -26,6 +26,9 @@ def main(argv=None) -> int:
                    help="comma list: census,hybrid,diag,hot,res,tiers,geom")
     p.add_argument("--hotk", type=int, default=-1, help="force hot_k (-1=auto)")
     p.add_argument("--diagb", type=int, default=-1, help="force diag_b (-1=auto)")
+    p.add_argument("--agg_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="tier compute dtype (the tuned default is bfloat16)")
     p.add_argument("--tiers", default="0:0,512:0,0:4096,2048:2048,4096:4096",
                    help="diag_b:hot_k sweep list for --only tiers")
     args = p.parse_args(argv)
@@ -78,7 +81,7 @@ def main(argv=None) -> int:
     hot_k = None if args.hotk < 0 else args.hotk
     diag_b = None if args.diagb < 0 else args.diagb
     hg = build_hybrid(graph, hot_k=hot_k, diag_b=diag_b)
-    ht = build_hybrid_tensors(hg)
+    ht = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype)
     r = hg.num_rows
     print(f"layout: rows={r} diag_b={hg.diag_b} hot_k={hg.hot_k} | "
           f"edges diag={hg.num_diag_edges} hot={hg.num_hot_edges} "
@@ -111,7 +114,7 @@ def main(argv=None) -> int:
         for spec in args.tiers.split(","):
             b, k = (int(v) for v in spec.split(":"))
             hgc = build_hybrid(graph, hot_k=k, diag_b=b)
-            htc = build_hybrid_tensors(hgc)
+            htc = build_hybrid_tensors(hgc, agg_dtype=args.agg_dtype)
             xc = jnp.ones((hgc.num_rows, dim), dtype=jnp.float32)
             sec = chained_device_time(lambda a, h: sag(a, h), xc, htc,
                                       iters=args.iters)
