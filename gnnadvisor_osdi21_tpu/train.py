@@ -25,6 +25,11 @@ import optax
 from gnnadvisor_osdi21_tpu.models import gcn_apply, gin_apply, init_gcn, init_gin
 from gnnadvisor_osdi21_tpu.ops.graph_tensors import GraphTensors
 
+# Max seconds a single device execution may run.  The tunneled TPU worker
+# crashes on executions much past ~60 s (kernel-fault watchdog); chunked
+# epoch scans stay well under it while keeping dispatch overhead amortized.
+_MAX_EXEC_S = 15.0
+
 
 def nll_loss(
     log_probs: jax.Array, labels: jax.Array, mask: jax.Array | None = None
@@ -176,17 +181,33 @@ def train_and_time(
 
     if use_scan:
         warm = make_epoch_scan(apply_fn, gts, optimizer, dry_run, mask=mask)
-        timed = make_epoch_scan(apply_fn, gts, optimizer, num_epochs, mask=mask)
         compile_start = time.perf_counter()
         params, opt_state, loss = warm(params, opt_state, x, y)
         float(loss)
-        # compile the timed program outside the measured window
+        # Re-execute the already-compiled warm program to estimate epoch
+        # time (no extra compile; just dry_run more warmup epochs).  The
+        # estimate sizes the scan chunk so no single device execution
+        # exceeds _MAX_EXEC_S: the tunneled TPU worker kills executions
+        # running much longer (observed: a 200-epoch ~96 s GIN program on
+        # the 1.9M-node Type II graphs crashes the worker; ~48 s survives).
+        probe = time.perf_counter()
+        params, opt_state, loss = warm(params, opt_state, x, y)
+        float(loss)
+        epoch_s_est = (time.perf_counter() - probe) / max(dry_run, 1)
+        chunk = max(1, min(num_epochs, int(_MAX_EXEC_S / max(epoch_s_est, 1e-6))))
+        timed = make_epoch_scan(apply_fn, gts, optimizer, chunk, mask=mask)
+        # compile the timed (chunked) program outside the measured window
         timed_c = timed.compile(params, opt_state, x, y)
         warmup_s = time.perf_counter() - compile_start
-        start = time.perf_counter()
-        params, opt_state, loss = timed_c(params, opt_state, x, y)
+        n_exec = -(-num_epochs // chunk)  # >= num_epochs epochs total
         final_loss = float(loss)
+        start = time.perf_counter()
+        for _ in range(n_exec):
+            params, opt_state, loss = timed_c(params, opt_state, x, y)
+            final_loss = float(loss)  # host fetch: reliable fence per chunk
         train_s = time.perf_counter() - start
+        dry_run *= 2  # the probe re-run above trained dry_run extra epochs
+        num_epochs = n_exec * chunk  # actual timed epochs (protocol: >= 200)
     else:
         step = make_train_step(apply_fn, gts, optimizer, mask=mask)
         loss = jnp.zeros(())
