@@ -67,3 +67,23 @@ def test_accuracy_helper(small_graph):
     assert float(accuracy(lp, y)) == pytest.approx(2 / 3)
     mask = jnp.asarray([1.0, 1.0, 0.0])
     assert float(accuracy(lp, y, mask)) == pytest.approx(1.0)
+
+
+def test_scan_chunking_respects_exec_budget(small_graph, monkeypatch):
+    """A tiny _MAX_EXEC_S must force multi-chunk scans (the TPU-worker
+    watchdog guard) while still training to the protocol's epoch count."""
+    from gnnadvisor_osdi21_tpu import train as train_mod
+
+    monkeypatch.setattr(train_mod, "_MAX_EXEC_S", 1e-9)  # chunk == 1 epoch
+    g = small_graph
+    gt = build_graph_tensors(g, method="ell", part_size=4)
+    x = jax.numpy.asarray(g.init_embedding(16, seed=0))
+    y = jax.numpy.asarray(g.init_labels(g.num_classes))
+    res = train_and_time(
+        "gcn", (gt, gt), x, y, hidden=8, num_classes=g.num_classes,
+        num_epochs=7, dry_run=2, use_scan=True,
+    )
+    assert res["num_epochs"] == 7  # ceil(7/1) executions x 1-epoch chunks
+    # probe re-run doubles the warmup epochs: 2*2 dry + 7 timed
+    assert res["step"] == 11
+    assert np.isfinite(res["final_loss"])
