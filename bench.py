@@ -17,10 +17,48 @@ Prints ONE JSON line.
 """
 
 import json
+import os
+import signal
 import sys
+import time
+
+
+def _quiesce_campaign(max_wait_s: float = 900.0) -> None:
+    """If a measurement campaign is running (bench/campaign.py), stop it and
+    wait for its in-flight config to drain so the headline bench has the
+    TPU to itself.  Kills only the exact PID recorded in campaign.pid; the
+    already-running child config is left to finish (its log stays valid for
+    the campaign's resume logic)."""
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "campaign.pid")) as fp:
+            pid = int(fp.read().split(":")[-1].strip())
+    except (OSError, ValueError):
+        return
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fp:
+            cmdline = fp.read().replace(b"\0", b" ").decode()
+    except OSError:
+        return  # stale pidfile: campaign already gone
+    if "campaign" not in cmdline:
+        return  # PID was recycled by an unrelated process
+    try:
+        os.kill(pid, signal.SIGTERM)
+        print(f"bench: stopped campaign driver pid {pid}", file=sys.stderr)
+    except ProcessLookupError:
+        pass
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            out = os.popen("ps -eo args").read()
+        except OSError:
+            return
+        if "-m gnnadvisor_osdi21_tpu " not in out:
+            return
+        time.sleep(10.0)
 
 
 def main():
+    _quiesce_campaign()
     from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
