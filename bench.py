@@ -48,11 +48,21 @@ def _quiesce_campaign(max_wait_s: float = 900.0) -> None:
         pass
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
-        try:
-            out = os.popen("ps -eo args").read()
-        except OSError:
-            return
-        if "-m gnnadvisor_osdi21_tpu " not in out:
+        # scan /proc cmdlines directly (ps may be absent, and os.popen hides
+        # failures as empty output, which would end the drain early)
+        busy = False
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/cmdline", "rb") as fp:
+                    cmd = fp.read().replace(b"\0", b" ").decode()
+            except OSError:
+                continue  # process exited mid-scan
+            if "-m gnnadvisor_osdi21_tpu " in cmd:
+                busy = True
+                break
+        if not busy:
             return
         time.sleep(10.0)
 

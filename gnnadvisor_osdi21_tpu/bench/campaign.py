@@ -58,8 +58,15 @@ def roster_configs(quick: bool):
 def study_configs(quick: bool):
     """The four reference studies; every run uses the per-epoch dispatch
     loop (fresh program per config; the scan variant's first compile is
-    slow through the remote compiler)."""
-    epochs = 50 if quick else 200
+    slow through the remote compiler).
+
+    Deliberate protocol deviation: study arms run 50 timed epochs, not the
+    roster's 200 (reference: 200 everywhere, GNNA_main.py:197).  Studies
+    measure *relative* curves across a parameter grid — the per-epoch mean
+    is stable by epoch 50 — and the grids contain deliberately pathological
+    arms (partSize=2 on the ELL path runs ~770 ms/epoch) where 200 epochs
+    would spend hours re-measuring a point nothing uses."""
+    epochs = 50
     graphs = TYPE_III[:1] if quick else TYPE_III
 
     # s7-4_3 first: the reordering thesis is the headline claim, so its
@@ -188,12 +195,23 @@ def main(argv=None) -> int:
             return 2
         only = argv[idx]
     os.makedirs(RUN_DIR, exist_ok=True)
-    if only in (None, "roster"):
-        for tag, _model, cmd in roster_configs(quick):
-            _run_one(tag, cmd)
-    if only in (None, "studies"):
-        for tag, _study, cmd, _hdr in study_configs(quick):
-            _run_one(tag, cmd)
+    # record our PID so bench.py's _quiesce_campaign can stop exactly this
+    # driver (never a pattern match) before taking the chip
+    pidfile = "campaign.pid"
+    with open(pidfile, "w") as fp:
+        fp.write(f"campaign:{os.getpid()}\n")
+    try:
+        if only in (None, "roster"):
+            for tag, _model, cmd in roster_configs(quick):
+                _run_one(tag, cmd)
+        if only in (None, "studies"):
+            for tag, _study, cmd, _hdr in study_configs(quick):
+                _run_one(tag, cmd)
+    finally:
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
     _assemble(quick)
     print("campaign done", flush=True)
     return 0

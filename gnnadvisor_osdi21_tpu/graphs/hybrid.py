@@ -77,6 +77,11 @@ SLAB_MEM_CAP_BYTES = 3 << 30  # auto tiers may not spend >3 GB on bit slabs
 DIAG_CANDIDATES = (0, 512, 1024, 2048, 4096)
 HOT_CANDIDATES = (0, 512, 1024, 2048, 4096)
 
+# Above this many off-diagonal edges the tier census samples whole output
+# blocks instead of sorting every edge key (choose_tiers docstring) —
+# keeps layout build O(seconds) at ogbn-products scale (~123M edges).
+CENSUS_EDGE_LIMIT = 10_000_000
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -187,10 +192,15 @@ def choose_tiers(
     (out-block, dst) pair and unique dst counts — the quantities the
     residual kernel actually pays for.  (An earlier coarse pass with a
     fixed dedup estimate systematically under-ranked small tiers, whose
-    residuals dedup 3-5x; exact counts cost ~0.2 s/candidate on a 3.4M-
-    edge graph, paid once per layout build.)  Fixing either parameter
-    (manual mode) restricts the search to the other; fixing both passes
-    through (param.py:58-70).
+    residuals dedup 3-5x.)  The census costs ONE sort per diag candidate:
+    hot sets are nested along the in-degree order, so every hot_k
+    candidate reads its pair count off a cumulative sum, and the stage-1
+    unique-dst count follows from the degree histogram alone.  Above
+    ``CENSUS_EDGE_LIMIT`` edges the pair census samples whole output
+    blocks (pairs partition by block, so ``stride x sampled-count`` is an
+    unbiased estimate); below it the census is exact.  Fixing either
+    parameter (manual mode) restricts the search to the other; fixing
+    both passes through (param.py:58-70).
     """
     e = len(src)
     if e == 0:
@@ -215,6 +225,24 @@ def choose_tiers(
         # do not earn a hot column
         counts = np.bincount(od, minlength=num_nodes)
         order = np.argsort(counts)[::-1]
+        # --- pair census, shared by every hot_k candidate ----------------
+        blk = osrc // res_ob
+        if len(od) > CENSUS_EDGE_LIMIT:
+            stride = -(-len(od) // CENSUS_EDGE_LIMIT)
+            sel = (blk % stride) == 0
+            keys = blk[sel] * np.int64(num_nodes + 1) + od[sel]
+        else:
+            stride = 1
+            keys = blk * np.int64(num_nodes + 1) + od
+        ukeys = np.unique(keys)
+        pairs_per_dst = np.bincount(
+            ukeys % np.int64(num_nodes + 1), minlength=num_nodes
+        )
+        u_total = len(ukeys)
+        # making a dst hot removes ALL its pairs and its stage-1 gather row
+        cum_pairs = np.cumsum(pairs_per_dst[order])
+        nz_dst = int(np.count_nonzero(counts))
+        cum_nzdst = np.cumsum(counts[order] > 0)
         k_cands = HOT_CANDIDATES if hot_k is None else (hot_k,)
         for k in k_cands:
             if k > num_nodes and k != (hot_k or 0):
@@ -233,16 +261,10 @@ def choose_tiers(
                 + bits_bytes_per_row / HBM_BYTES_PER_NS
             )
             if len(od):
-                hot = np.zeros(num_nodes, dtype=bool)
-                if kk:
-                    hot[order[:kk]] = True
-                keep = ~hot[od]
-                pairs = (
-                    (osrc[keep] // res_ob) * np.int64(num_nodes + 1)
-                    + od[keep]
+                uniq = stride * (
+                    u_total - (int(cum_pairs[kk - 1]) if kk else 0)
                 )
-                uniq = len(np.unique(pairs))
-                uniq_dst = len(np.unique(od[keep]))
+                uniq_dst = nz_dst - (int(cum_nzdst[kk - 1]) if kk else 0)
             else:
                 uniq = uniq_dst = 0
             cost = slab + res_ns * uniq + GATHER_BIG_NS * uniq_dst
@@ -287,9 +309,15 @@ def build_hybrid(
         assert hot_k % 32 == 0, f"hot_k {hot_k} must be a multiple of 32"
         counts = np.bincount(ci[~in_diag], minlength=n)
         top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
-        # hot_k > n: pad the id table with row 0 — those columns never set
-        # a bit, so the padded gathers contribute nothing
-        hot_ids = np.zeros(hot_k, dtype=np.int32)
+        top = top[counts[top] > 0]  # columns with no edges stay padding
+        # Padding columns never set a bit, so any id is *correct*; point
+        # them at a dedicated zero row (the first pad row) so they gather
+        # zeros, not K-len(top) copies of a real row — no wasted bandwidth
+        # and no footgun if hot_ids is ever used without the bit mask.
+        # (n == num_rows only when n is already tier-aligned; then there is
+        # no pad row and row 0 is the harmless fallback.)
+        pad_id = n if n < num_rows else 0
+        hot_ids = np.full(hot_k, pad_id, dtype=np.int32)
         hot_ids[: len(top)] = top
         hot_col = np.full(n, -1, dtype=np.int64)
         hot_col[top] = np.arange(len(top))

@@ -164,6 +164,10 @@ def shard_graph_hybrid(
             counts = np.bincount(od_cols, minlength=table)
             top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
             top = top[counts[top] > 0]
+            # pad columns never set a bit; id 0 (a real table row) is only
+            # a duplicate gather of K-len(top) rows, there is no per-device
+            # row guaranteed zero in the gather table (see graphs/hybrid.py
+            # for the single-chip sentinel-zero-row variant)
             hot_ids = np.zeros(hot_k, dtype=np.int32)
             hot_ids[: len(top)] = top
             hot_col = np.full(table, -1, dtype=np.int64)

@@ -180,6 +180,10 @@ def train_and_time(
         )
 
     if use_scan:
+        # the probe re-run below divides by dry_run to estimate epoch time
+        # (and sizes the watchdog chunk from it): dry_run=0 would make the
+        # estimate dispatch-only and the chunk unbounded
+        dry_run = max(dry_run, 1)
         warm = make_epoch_scan(apply_fn, gts, optimizer, dry_run, mask=mask)
         compile_start = time.perf_counter()
         params, opt_state, loss = warm(params, opt_state, x, y)

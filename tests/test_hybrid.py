@@ -145,3 +145,38 @@ def test_choose_tiers_community_picks_diag():
     src = np.repeat(np.arange(g.num_nodes), np.diff(g.row_pointers))
     diag_b, _ = choose_tiers(src, g.column_index.astype(np.int64), g.num_nodes)
     assert diag_b > 0
+
+
+def test_hot_k_exceeding_nodes_pads_with_zero_row():
+    """hot_k > num_nodes: padding columns must point at the dedicated zero
+    pad row (never a real row) and the aggregate must still match the
+    oracle (VERDICT r2 'hot_ids padding indexes row 0')."""
+    g = synthesize_graph(700, 9000, num_features=8, kind="powerlaw", seed=7)
+    hg = build_hybrid(g, hot_k=1024, diag_b=0)  # 1024 > 700 nodes
+    assert hg.num_rows > g.num_nodes  # pad rows exist at this size
+    n_top = int((hg.hot_ids != g.num_nodes).sum())
+    assert n_top <= g.num_nodes
+    assert np.all(hg.hot_ids[n_top:] == g.num_nodes)  # sentinel zero row
+    ht = build_hybrid_tensors(hg)
+    x = np.random.default_rng(0).normal(size=(g.num_nodes, 8)).astype(np.float32)
+    xp = jnp.asarray(hg.pad_array(x))
+    out = np.asarray(aggregate(xp, ht))[: g.num_nodes]
+    np.testing.assert_allclose(out, _oracle(g, x, norm=False), rtol=1e-4, atol=1e-4)
+
+
+def test_choose_tiers_sampled_census_is_fast():
+    """Above CENSUS_EDGE_LIMIT the census samples output blocks: a 12M-edge
+    synthetic graph must rank tiers in seconds, not minutes (VERDICT r2
+    'choose_tiers exact-census cost scales with candidates x edges')."""
+    import time
+
+    rng = np.random.default_rng(0)
+    e, n = 12_000_000, 1_000_000
+    src = np.sort(rng.integers(0, n, size=e).astype(np.int64))
+    dst = rng.integers(0, n, size=e).astype(np.int64)
+    t0 = time.perf_counter()
+    diag_b, hot_k = choose_tiers(src, dst, n)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 15.0, f"sampled census took {elapsed:.1f}s"
+    assert diag_b in (0, 512, 1024, 2048, 4096)
+    assert hot_k in (0, 512, 1024, 2048, 4096)
