@@ -86,9 +86,12 @@ def main():
     hg = build_hybrid(graph)
     # the tuned default: bf16 tier contractions, f32 accumulation — exact
     # on this all-ones protocol (0/1 adjacency x 1.0 features)
-    ht = build_hybrid_tensors(hg, agg_dtype="bfloat16")
+    # v3 tuned defaults: transposed feature layout ([dim, rows] — exact-byte
+    # streams, no 128-lane padding) + bf16 tier contractions with f32
+    # accumulation — exact on this all-ones protocol (0/1 adjacency x 1.0)
+    ht = build_hybrid_tensors(hg, agg_dtype="bfloat16", transposed=True)
 
-    x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
+    x = jnp.ones((dim, hg.num_rows), dtype=jnp.float32)
     sec = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=50, reps=3)
     ms = sec * 1e3
 

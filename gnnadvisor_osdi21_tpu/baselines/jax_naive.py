@@ -105,7 +105,11 @@ def main(argv=None) -> int:
     from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS, QUICK
 
     roster = QUICK if quick else list(DATASETS)
+    if "--dataset" in argv:  # single-config mode (resumable campaigns)
+        roster = [argv[argv.index("--dataset") + 1]]
     epochs = 50 if quick else 200
+    if "--epochs" in argv:
+        epochs = int(argv[argv.index("--epochs") + 1])
     for name in roster:
         print(f"Namespace(dataset='{name}', baseline='jax_naive')")
         ms = run(name, model, epochs)

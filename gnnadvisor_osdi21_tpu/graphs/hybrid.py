@@ -116,6 +116,10 @@ class HybridGraph:
     res_gather: np.ndarray  # [Ud] int32 unique destination rows (stage 1)
     res_dst: np.ndarray  # [M_pad] int32 index into res_gather per slot
     res_mask: np.ndarray  # [res_ob/32, M_pad] uint32 multi-hot, transposed
+    # same bits in slot-major orientation ([res_tile/32, T*res_ob], slot s
+    # in word s % S32 bit s // S32, out rows on lanes) — the layout the
+    # transposed residual kernel unpacks directly (residual_combine_t)
+    res_mask_s: np.ndarray  # [res_tile/32, T*res_ob] uint32
     res_t2b: np.ndarray  # [T] int32 out-block of each tile
     res_tile: int
     res_ob: int
@@ -351,7 +355,7 @@ def build_hybrid(
     # mask fans one gathered row out to every block row that wants it
     # (measured dedup ≈ 1.2-2.1x — gathers are the residual's cost).
     rs, rd = src[in_res], ci[in_res]
-    res_gather, res_dst, res_mask, res_t2b, num_res_pairs = (
+    res_gather, res_dst, res_mask, res_mask_s, res_t2b, num_res_pairs = (
         build_residual_stream(rs, rd, n, num_rows, res_tile, res_ob)
     )
 
@@ -373,6 +377,7 @@ def build_hybrid(
         res_gather=res_gather,
         res_dst=res_dst,
         res_mask=res_mask,
+        res_mask_s=res_mask_s,
         res_t2b=res_t2b,
         res_tile=res_tile,
         res_ob=res_ob,
@@ -401,18 +406,22 @@ def build_residual_stream(
     ``rs``: output rows in [0, num_rows); ``rd``: gather-source ids in
     [0, col_space) — for the single-chip layout that's the same node space,
     for the sharded layout it's the per-device gather table (local block +
-    received halo).  Returns ``(res_gather, res_dst, res_mask, res_t2b,
-    num_pairs)`` — one slot per unique (out-block, source) pair,
-    TRANSPOSED multi-hot masks [words, M_pad] (lane-padding-free storage),
-    tiles grouped per out-block (see HybridGraph fields).
+    received halo).  Returns ``(res_gather, res_dst, res_mask, res_mask_s,
+    res_t2b, num_pairs)`` — one slot per unique (out-block, source) pair,
+    multi-hot masks in BOTH bit orientations (``res_mask`` out-row-major
+    [res_ob/32, M_pad] for the row-major kernel / CPU reference;
+    ``res_mask_s`` slot-major [res_tile/32, T*res_ob] for the transposed
+    kernel), tiles grouped per out-block (see HybridGraph fields).
     """
     n_blocks = num_rows // res_ob
     words = res_ob // 32
+    sw = res_tile // 32
     if not len(rs):
         return (
             np.zeros(0, dtype=np.int32),
             np.zeros(0, dtype=np.int32),
             np.zeros((words, 0), dtype=np.uint32),
+            np.zeros((sw, 0), dtype=np.uint32),
             np.zeros(0, dtype=np.int32),
             0,
         )
@@ -445,4 +454,20 @@ def build_residual_stream(
     res_dst[pos] = udst_c.astype(np.int32)
     res_mask[pos] = umask
     res_t2b = np.repeat(np.arange(n_blocks, dtype=np.int32), padded_b // res_tile)
-    return res_gather, res_dst, np.ascontiguousarray(res_mask.T), res_t2b, u
+    # slot-major orientation: per edge, slot pos -> (tile, slot-in-tile);
+    # lane = tile*res_ob + out-row offset; bit-major within the slot axis.
+    # Requires res_tile % 32 == 0 (true for every production layout; tiny
+    # test tiles fall back to an empty sentinel — the transposed kernel is
+    # unusable there anyway).
+    if sw > 0:
+        n_tiles = m_pad // res_tile
+        mask_s = np.zeros((sw, n_tiles * res_ob), dtype=np.uint32)
+        pu = pos[inv]  # per-edge global slot position
+        si = pu % res_tile
+        lane = (pu // res_tile) * res_ob + off
+        np.bitwise_or.at(
+            mask_s, (si % sw, lane), np.uint32(1) << (si // sw).astype(np.uint32)
+        )
+    else:
+        mask_s = np.zeros((0, 0), dtype=np.uint32)
+    return res_gather, res_dst, np.ascontiguousarray(res_mask.T), mask_s, res_t2b, u

@@ -36,12 +36,15 @@ def init_gcn(key, in_dim: int, hidden: int, num_classes: int, dtype=jnp.float32)
 def gcn_apply(
     params, x: jax.Array, gts: Sequence[GraphTensors]
 ) -> jax.Array:
-    """Forward pass → log-probabilities [N, classes].
+    """Forward pass → log-probabilities [N, classes] (or [classes, N] in
+    the transposed feature layout — see ops.aggregate.is_transposed).
 
     ``gts`` = (input-layer graph tensors, hidden-layer graph tensors); pass
     the same object twice when the decider chose identical configs.
     """
+    from gnnadvisor_osdi21_tpu.ops.aggregate import is_transposed
+
     gt_input, gt_hidden = gts[0], gts[-1]
     h = jax.nn.relu(gcn_conv(x, params["conv1"], gt_input))
     out = gcn_conv(h, params["conv2"], gt_hidden)
-    return jax.nn.log_softmax(out, axis=1)
+    return jax.nn.log_softmax(out, axis=0 if is_transposed(gt_input) else 1)

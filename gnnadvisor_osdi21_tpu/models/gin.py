@@ -35,7 +35,10 @@ def gin_apply(
     gts: Sequence[GraphTensors],
     epsilon: float = 0.5,
 ) -> jax.Array:
-    """Forward pass → log-probabilities [N, classes]."""
+    """Forward pass → log-probabilities [N, classes] (or [classes, N] in
+    the transposed feature layout)."""
+    from gnnadvisor_osdi21_tpu.ops.aggregate import is_transposed
+
     gt_input, gt_hidden = gts[0], gts[-1]
     h = x
     for i in range(NUM_LAYERS):
@@ -43,4 +46,4 @@ def gin_apply(
         h = gin_conv(h, params[f"conv{i + 1}"], gt, epsilon)
         if i < NUM_LAYERS - 1:
             h = jax.nn.relu(h)
-    return jax.nn.log_softmax(h, axis=1)
+    return jax.nn.log_softmax(h, axis=0 if is_transposed(gt_input) else 1)

@@ -190,22 +190,38 @@ def sag(x: jax.Array, gt: GraphTensors) -> jax.Array:
     return aggregate(x, gt, False)
 
 
+def is_transposed(gt) -> bool:
+    """True when the graph tensors use the transposed feature layout
+    ([D, R], graph rows on the 128-lane axis — hybrid_agg.HybridTensors
+    v3).  Ops and models adapt their matmul orientation to it."""
+    return bool(getattr(gt, "transposed", False))
+
+
 @jax.custom_vjp
 def gcn_conv(x: jax.Array, weight: jax.Array, gt: GraphTensors) -> jax.Array:
     """Fused GCN layer: Agg(X @ W) with deg[s]·deg[d] weighting
-    (GNNAFunction, gnn_conv.py:31-78)."""
-    return _dispatch_aggregate(x @ weight, gt, True)
+    (GNNAFunction, gnn_conv.py:31-78).
+
+    Transposed layout: x is [D, R], the GEMM becomes W^T @ X_t, and the
+    aggregation runs the transposed kernels — same math, exact bytes."""
+    h = weight.T @ x if is_transposed(gt) else x @ weight
+    return _dispatch_aggregate(h, gt, True)
 
 
 def _gcn_conv_fwd(x, weight, gt):
-    return _dispatch_aggregate(x @ weight, gt, True), (x, weight, gt)
+    h = weight.T @ x if is_transposed(gt) else x @ weight
+    return _dispatch_aggregate(h, gt, True), (x, weight, gt)
 
 
 def _gcn_conv_bwd(res, g):
     x, weight, gt = res
     d_ip = _dispatch_aggregate(g, gt, True)
-    dx = d_ip @ weight.T
-    dw = x.T @ d_ip
+    if is_transposed(gt):
+        dx = weight @ d_ip  # [Din, R]
+        dw = x @ d_ip.T  # [Din, H]
+    else:
+        dx = d_ip @ weight.T
+        dw = x.T @ d_ip
     return dx, dw, _zero_cotangent(gt)
 
 
@@ -220,19 +236,24 @@ def gin_conv(
     self-term, ε=0.5 default (GNNAFunction_GIN, gnn_conv.py:101-126;
     GNNAdvisor_kernel.cu:559-617)."""
     x_agg = epsilon * _dispatch_aggregate(x, gt, False)
-    return x_agg @ weight
+    return weight.T @ x_agg if is_transposed(gt) else x_agg @ weight
 
 
 def _gin_conv_fwd(x, weight, gt, epsilon):
     x_agg = epsilon * _dispatch_aggregate(x, gt, False)
     # Save X_agg, not X — the reference's memory trick (gnn_conv.py:109).
-    return x_agg @ weight, (x_agg, weight, gt)
+    out = weight.T @ x_agg if is_transposed(gt) else x_agg @ weight
+    return out, (x_agg, weight, gt)
 
 
 def _gin_conv_bwd(epsilon, res, g):
     x_agg, weight, gt = res
-    dw = x_agg.T @ g
-    d_ip = g @ weight.T
+    if is_transposed(gt):
+        dw = x_agg @ g.T  # [Din, H]
+        d_ip = weight @ g  # [Din, R]
+    else:
+        dw = x_agg.T @ g
+        d_ip = g @ weight.T
     dx = epsilon * _dispatch_aggregate(d_ip, gt, False)
     return dx, dw, _zero_cotangent(gt)
 

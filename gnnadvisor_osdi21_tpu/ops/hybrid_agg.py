@@ -47,6 +47,7 @@ class HybridTensors:
     res_gather: Optional[jax.Array]  # [Ud] int32 unique dst rows (stage 1)
     res_dst: Optional[jax.Array]  # [M_pad] int32 into res_gather (stage 2)
     res_mask: Optional[jax.Array]  # [res_ob/32, M_pad] uint32 multi-hot
+    res_mask_s: Optional[jax.Array]  # [res_tile/32, T*res_ob] slot-major
     res_t2b: Optional[jax.Array]  # [T] int32 tile -> out-block
     # static layout
     num_rows: int = 0
@@ -62,6 +63,12 @@ class HybridTensors:
     # always f32): "bfloat16" shaves ~20% off slab time at a ~0.4%
     # relative rounding cost; "float32" matches the oracle exactly
     agg_dtype: str = "float32"
+    # transposed pipeline (v3): features live [D, R] with graph rows on
+    # the 128-lane axis, so every stream is exact-bytes (no 8-16x lane
+    # padding on narrow feature dims) — measured 3-4x faster slab passes
+    # (bench/fixprobe.py).  When True, hybrid_aggregate takes and returns
+    # [D, R] arrays and the models run transposed end-to-end.
+    transposed: bool = False
 
     @property
     def method(self) -> str:
@@ -72,11 +79,11 @@ jax.tree_util.register_dataclass(
     HybridTensors,
     data_fields=[
         "degrees", "row_mask", "diag_bits", "hot_bits", "hot_ids",
-        "res_gather", "res_dst", "res_mask", "res_t2b",
+        "res_gather", "res_dst", "res_mask", "res_mask_s", "res_t2b",
     ],
     meta_fields=[
         "num_rows", "real_nodes", "diag_b", "hot_k", "res_tile", "res_ob",
-        "block_rows", "feature_tile", "agg_dtype",
+        "block_rows", "feature_tile", "agg_dtype", "transposed",
     ],
 )
 
@@ -87,9 +94,15 @@ def build_hybrid_tensors(
     block_rows: int = 512,
     feature_tile: int = 128,
     agg_dtype: str = "float32",
+    transposed: bool = False,
 ) -> HybridTensors:
     put = lambda a: jax.device_put(jnp.asarray(a), device)
     has_res = hg.res_dst.size > 0
+    # only the orientation the selected kernel reads goes on device; the
+    # transposed TPU path needs the slot-major mask, the row-major path
+    # (and the CPU reference fallback) the out-row-major one
+    need_rowmajor_mask = has_res and (not transposed or not _on_tpu())
+    need_slotmajor_mask = has_res and transposed and _on_tpu()
     return HybridTensors(
         degrees=put(hg.degrees),
         row_mask=put(hg.row_mask),
@@ -98,7 +111,8 @@ def build_hybrid_tensors(
         hot_ids=put(hg.hot_ids) if hg.hot_k else None,
         res_gather=put(hg.res_gather) if has_res else None,
         res_dst=put(hg.res_dst) if has_res else None,
-        res_mask=put(hg.res_mask) if has_res else None,
+        res_mask=put(hg.res_mask) if need_rowmajor_mask else None,
+        res_mask_s=put(hg.res_mask_s) if need_slotmajor_mask else None,
         res_t2b=put(hg.res_t2b) if has_res else None,
         num_rows=hg.num_rows,
         real_nodes=hg.real_nodes,
@@ -109,6 +123,7 @@ def build_hybrid_tensors(
         block_rows=_sanitize_block_rows(block_rows, hg.diag_b),
         feature_tile=feature_tile,
         agg_dtype=agg_dtype,
+        transposed=transposed,
     )
 
 
@@ -227,17 +242,9 @@ def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
     return blocks.reshape(ht.num_rows, d)
 
 
-def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:
-    """out[s] = Σ_{d∈N(s)} w_sd · x[d] over the three-tier layout.
-
-    GCN weighting (``norm``): pre-scale x rows by sqrt-degree, post-scale
-    output rows — both dense — so no tier touches per-edge weights
-    (the degree product factors: deg[s]·deg[d]·x[d] = deg[s]·(deg·x)[d]).
-    """
-    out_dtype = x.dtype
-    if norm:
-        x = x * ht.degrees[:, None].astype(x.dtype)
-    x = x.astype(ht.agg_dtype)
+def _tiers_rowmajor(x: jax.Array, ht: HybridTensors) -> jax.Array:
+    """Row-major tier composition (no degree scaling): fused slab pass on
+    TPU, per-tier paths otherwise."""
     out = None
     if ht.diag_b and ht.hot_k and _on_tpu():
         # one fused row pass: the slab cost law is rows·(a + b·(B+K)) with
@@ -261,6 +268,80 @@ def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:
         out = r if out is None else out + r
     if out is None:
         out = jnp.zeros(x.shape, jnp.float32)
+    return out
+
+
+def _tiers_transposed(x_t: jax.Array, ht: HybridTensors) -> jax.Array:
+    """Transposed tier composition ([D, R] in/out, no degree scaling).
+
+    On TPU this runs the v3 exact-bytes kernels (spmm_pallas
+    *_t variants); off-TPU it delegates to the row-major reference path at
+    the boundary (tests exercise the same wiring, the Pallas kernels get
+    their own interpret-mode tests)."""
+    if not _on_tpu():
+        return _tiers_rowmajor(x_t.T, ht).T
+    from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+    out = None
+    if ht.diag_b and ht.hot_k:
+        x_hot_t = jnp.take(x_t, ht.hot_ids, axis=1)
+        out = spmm_pallas.fused_slab_matmul_t(
+            ht.diag_bits, ht.hot_bits, x_t, x_hot_t, ht.diag_b,
+            block_cols=ht.block_rows, feature_tile=ht.feature_tile,
+        )
+    else:
+        if ht.diag_b:
+            out = spmm_pallas.slab_matmul_t(
+                ht.diag_bits, x_t, table_block_cols=ht.diag_b,
+                block_cols=min(ht.block_rows, ht.diag_b),
+                feature_tile=ht.feature_tile,
+            )
+        if ht.hot_k:
+            x_hot_t = jnp.take(x_t, ht.hot_ids, axis=1)
+            h = spmm_pallas.slab_matmul_t(
+                ht.hot_bits, x_hot_t,
+                block_cols=ht.block_rows, feature_tile=ht.feature_tile,
+            )
+            out = h if out is None else out + h
+    if ht.res_dst is not None:
+        compact = jnp.take(x_t, ht.res_gather, axis=1)  # [D, Ud]
+        rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
+        r = spmm_pallas.residual_combine_t(
+            rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
+            feature_tile=ht.feature_tile,
+        )
+        n_blocks = ht.num_rows // ht.res_ob
+        visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
+            True, indices_are_sorted=True
+        )
+        r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+        out = r if out is None else out + r
+    if out is None:
+        out = jnp.zeros(x_t.shape, jnp.float32)
+    return out
+
+
+def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:
+    """out[s] = Σ_{d∈N(s)} w_sd · x[d] over the three-tier layout.
+
+    Layout contract follows ``ht.transposed``: row-major ``[R, D]`` in/out
+    when False, transposed ``[D, R]`` (rows on lanes) when True.
+
+    GCN weighting (``norm``): pre-scale x rows by sqrt-degree, post-scale
+    output rows — both dense — so no tier touches per-edge weights
+    (the degree product factors: deg[s]·deg[d]·x[d] = deg[s]·(deg·x)[d]).
+    """
+    out_dtype = x.dtype
+    if ht.transposed:
+        if norm:
+            x = x * ht.degrees[None, :].astype(x.dtype)
+        out = _tiers_transposed(x.astype(ht.agg_dtype), ht)
+        if norm:
+            out = out * ht.degrees[None, :].astype(out.dtype)
+        return out.astype(out_dtype)
+    if norm:
+        x = x * ht.degrees[:, None].astype(x.dtype)
+    out = _tiers_rowmajor(x.astype(ht.agg_dtype), ht)
     if norm:
         out = out * ht.degrees[:, None].astype(out.dtype)
     return out.astype(out_dtype)

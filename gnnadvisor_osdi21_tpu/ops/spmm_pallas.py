@@ -380,6 +380,284 @@ def residual_combine(
     return out[:, :d] if dp != d else out
 
 
+# ---------------------------------------------------------------------------
+# Transposed (feature-on-sublanes) kernels — the v3 layout.
+#
+# Measured motivation (bench/stepprobe.py + bench/fixprobe.py, v5e): with
+# features stored row-major [R, D], every array narrower than 128 lanes is
+# physically padded to 128 lanes by the TPU's (8, 128) tiling, and the
+# row-major slab kernels cost ~3.6 ns/row FIXED + ~8 ps/slot.  Storing
+# features TRANSPOSED ([D, R], graph rows on the lane axis) makes every
+# stream exact-bytes and lets the dot run x_t[D, K] @ unpack(bits)[K, cols]:
+# measured ~2.2 ns/row fixed + ~0.8 ps/slot — 3-4x faster at practical
+# tier widths.  Gathers cost the same on either axis (measured), so the
+# residual tier loses nothing.  These kernels power the transposed hybrid
+# pipeline (ops/hybrid_agg.py with transposed=True).
+# ---------------------------------------------------------------------------
+
+
+def _feature_tiles_t(d: int, feature_tile: int):
+    """Sublane tiling for the feature axis of transposed operands.
+
+    Multiples of 16 cover both f32 (8-row tiles) and bf16 (16-row tiles);
+    small feature dims run as one full-height tile (Mosaic's full-dim
+    exemption)."""
+    dp16 = _round_up(max(d, 1), 16)
+    if dp16 <= max(feature_tile, 128):
+        return dp16, dp16
+    td = _round_up(feature_tile, 16)
+    return td, _round_up(d, td)
+
+
+def _slab_kernel_t(bits_ref, shift_ref, xt_ref, out_ref):
+    """One grid step: out[td, bc] = x_t[td, K] @ unpack(bits)[K, bc]."""
+    a_t = _unpack_tile_t(bits_ref, shift_ref, xt_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        xt_ref[:], a_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(xt_ref.dtype),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("table_block_cols", "block_cols", "feature_tile", "interpret"),
+)
+def slab_matmul_t(
+    bits_t: jax.Array,  # [K/32, R] uint32, transposed bit-major
+    x_t: jax.Array,  # [D, K] (hot) or [D, R] (diagonal)
+    table_block_cols: int | None = None,
+    block_cols: int = 512,
+    feature_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[D, R] f32 = x_t @ unpack(bits_t) (global or block-local table)."""
+    w32, r = bits_t.shape
+    k = w32 * 32
+    d, t = x_t.shape
+    if table_block_cols is None:
+        assert t == k, f"hot table cols {t} != slab K {k}"
+    else:
+        assert table_block_cols == k, (
+            f"diag block {table_block_cols} != slab K {k}"
+        )
+        assert t == r, f"diag x cols {t} != slab cols {r}"
+        assert table_block_cols % block_cols == 0, (
+            f"block_cols {block_cols} must divide diag block {table_block_cols}"
+        )
+    assert r % block_cols == 0, f"cols {r} not a multiple of {block_cols}"
+
+    td, dp = _feature_tiles_t(d, feature_tile)
+    if dp != d:
+        x_t = jnp.pad(x_t, ((0, dp - d), (0, 0)))
+    grid = (r // block_cols, dp // td)
+
+    if table_block_cols is None:
+        x_index = lambda i, j: (j, 0)
+    else:
+        blocks_per_diag = table_block_cols // block_cols
+        x_index = lambda i, j: (j, i // blocks_per_diag)
+
+    shift_col = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[:, None]
+    out = pl.pallas_call(
+        _slab_kernel_t,
+        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (w32, block_cols), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((td, k), x_index, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (td, block_cols), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * dp,
+            bytes_accessed=r * w32 * 4 * (dp // td) + t * dp * 4 + r * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bits_t, shift_col, x_t)
+    return out[:d] if dp != d else out
+
+
+def _fused_kernel_t(db_ref, dshift_ref, hb_ref, hshift_ref, xt_ref, xht_ref,
+                    out_ref):
+    """One grid step: both slabs unpacked, two MXU contractions, one write."""
+    da = _unpack_tile_t(db_ref, dshift_ref, xt_ref.dtype)
+    ha = _unpack_tile_t(hb_ref, hshift_ref, xht_ref.dtype)
+    prec_d = _precision(xt_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        xt_ref[:], da, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec_d,
+    ) + jax.lax.dot_general(
+        xht_ref[:], ha, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec_d,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("diag_b", "block_cols", "feature_tile", "interpret"),
+)
+def fused_slab_matmul_t(
+    diag_bits_t: jax.Array,  # [B/32, R] uint32, block-local columns
+    hot_bits_t: jax.Array,  # [K/32, R] uint32, global hot columns
+    x_t: jax.Array,  # [D, R] (diag operand, sliced per block)
+    x_hot_t: jax.Array,  # [D, K] (gathered hot table)
+    diag_b: int,
+    block_cols: int = 512,
+    feature_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[D, R] = x_t @ blockdiag(diag) + x_hot_t @ hot, one column pass."""
+    dw32, r = diag_bits_t.shape
+    b = dw32 * 32
+    hw32, _ = hot_bits_t.shape
+    k = hw32 * 32
+    d, t = x_hot_t.shape
+    assert b == diag_b and t == k and x_t.shape[1] == r
+    block_cols = min(block_cols, diag_b)
+    assert diag_b % block_cols == 0 and r % block_cols == 0
+
+    td, dp = _feature_tiles_t(d, feature_tile)
+    if dp != d:
+        x_t = jnp.pad(x_t, ((0, dp - d), (0, 0)))
+        x_hot_t = jnp.pad(x_hot_t, ((0, dp - d), (0, 0)))
+    grid = (r // block_cols, dp // td)
+    bpd = diag_b // block_cols
+
+    dshift = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(dw32))[:, None]
+    hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[:, None]
+    out = pl.pallas_call(
+        _fused_kernel_t,
+        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (dw32, block_cols), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (hw32, block_cols), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (td, b), lambda i, j: (j, i // bpd), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((td, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (td, block_cols), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * (b + k) * dp,
+            bytes_accessed=r * (dw32 + hw32) * 4 * (dp // td)
+            + (r + t) * dp * 4 + r * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(diag_bits_t, dshift, hot_bits_t, hshift, x_t, x_hot_t)
+    return out[:d] if dp != d else out
+
+
+def _resid_kernel_t(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
+    """One grid step = one residual tile: unpack the [S, OB] multi-hot mask
+    (slot-major bit layout), contract the slot axis on the MXU, accumulate
+    into the tile's output block (tiles grouped per block, t2b sorted)."""
+    i = pl.program_id(1)
+    prev = t2b_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, t2b_ref[i] != prev)
+
+    a = _unpack_tile_t(mask_ref, shift_ref, rows_ref.dtype)  # [S, OB]
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        rows_ref[:], a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(rows_ref.dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "res_ob", "feature_tile", "interpret")
+)
+def residual_combine_t(
+    rows_t: jax.Array,  # [D, M_pad] gathered slot rows (pad slots: any value)
+    mask_s: jax.Array,  # [S/32, T*OB] uint32 multi-hot, slot-major (0 on pads)
+    t2b: jax.Array,  # [T] int32 tile -> out-block, sorted ascending
+    num_rows: int,
+    res_ob: int,
+    feature_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[D, num_rows] f32: residual-tier combine, transposed + fused.
+
+    The slot-major mask layout stores slot s of a tile in word ``s % S32``
+    bit ``s // S32`` with the tile's output rows on the lane axis, so one
+    repeat+shift unpack yields the [S, OB] operand the transposed MXU
+    contraction wants — no in-kernel transpose.
+    """
+    d, m_pad = rows_t.shape
+    words, lanes = mask_s.shape
+    s = words * 32
+    t = t2b.shape[0]
+    assert lanes == t * res_ob and t * s == m_pad
+    n_blocks = num_rows // res_ob
+
+    td, dp = _feature_tiles_t(d, feature_tile)
+    if dp != d:
+        rows_t = jnp.pad(rows_t, ((0, dp - d), (0, 0)))
+
+    shift_col = (jnp.arange(s, dtype=jnp.uint32) // jnp.uint32(words))[:, None]
+    out = pl.pallas_call(
+        _resid_kernel_t,
+        out_shape=jax.ShapeDtypeStruct((dp, num_rows), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(dp // td, t),
+            in_specs=[
+                pl.BlockSpec(
+                    (words, res_ob), lambda j, i, t2b_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (s, 1), lambda j, i, t2b_ref: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (td, s), lambda j, i, t2b_ref: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (td, res_ob), lambda j, i, t2b_ref: (j, t2b_ref[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * res_ob * dp,
+            bytes_accessed=m_pad * (words * 4 // max(s // res_ob, 1) + dp * 4)
+            + n_blocks * res_ob * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(t2b, mask_s, shift_col, rows_t)
+    return out[:d] if dp != d else out
+
+
 def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):
     """Host-side slab builder, row-major [R, K/32] (the oracle/test view).
     Column j -> word j % (K/32), bit j // (K/32).  Device layouts store

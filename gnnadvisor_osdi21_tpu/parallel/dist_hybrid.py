@@ -60,6 +60,7 @@ def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
         res_gather=g["res_gather"],
         res_dst=g["res_dst"],
         res_mask=g["res_mask"],
+        res_mask_s=None,  # distributed kernels use the row-major orientation
         res_t2b=g["res_t2b"],
         num_rows=sg.block,
         real_nodes=sg.block,

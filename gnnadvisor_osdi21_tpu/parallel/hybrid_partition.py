@@ -181,7 +181,10 @@ def shard_graph_hybrid(
             hot_bits = np.zeros((0, block), dtype=np.uint32)
             is_hot = np.zeros(len(od_cols), dtype=bool)
 
-        rg, rd_, rm, rt, _pairs = build_residual_stream(
+        # the distributed kernels use the out-row-major mask orientation;
+        # the slot-major twin (for the transposed single-chip kernel) is
+        # discarded here
+        rg, rd_, rm, _rms, rt, _pairs = build_residual_stream(
             od_rows[~is_hot], od_cols[~is_hot], table, block, res_tile, res_ob
         )
         per.append((diag_bits, hot_ids, hot_bits, rg, rd_, rm, rt))

@@ -32,18 +32,33 @@ _MAX_EXEC_S = 15.0
 
 
 def nll_loss(
-    log_probs: jax.Array, labels: jax.Array, mask: jax.Array | None = None
+    log_probs: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array | None = None,
+    transposed: bool = False,
 ) -> jax.Array:
     """Mean negative log-likelihood, matching F.nll_loss(reduction='mean').
 
     ``mask`` (0/1 per row) excludes padding rows introduced by the hybrid
-    layout; the mean is over real rows only."""
-    nll = -jnp.take_along_axis(
-        log_probs, labels[:, None].astype(jnp.int32), axis=1
-    )[:, 0]
+    layout; the mean is over real rows only.  ``transposed`` means
+    log_probs is [classes, N] (the transposed feature layout)."""
+    if transposed:
+        nll = -jnp.take_along_axis(
+            log_probs, labels[None, :].astype(jnp.int32), axis=0
+        )[0]
+    else:
+        nll = -jnp.take_along_axis(
+            log_probs, labels[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
     if mask is None:
         return nll.mean()
     return jnp.sum(nll * mask) / jnp.sum(mask)
+
+
+def _gts_transposed(gts) -> bool:
+    from gnnadvisor_osdi21_tpu.ops.aggregate import is_transposed
+
+    return is_transposed(gts[0])
 
 
 def make_train_step(
@@ -60,9 +75,10 @@ def make_train_step(
     makes tracing and compilation take minutes (see
     utils/timing.py discussion of this platform)."""
     gts = tuple(gts)
+    tr = _gts_transposed(gts)
 
     def loss_fn(params, x, y, gts_, mask_):
-        return nll_loss(apply_fn(params, x, gts_), y, mask_)
+        return nll_loss(apply_fn(params, x, gts_), y, mask_, transposed=tr)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y, gts_, mask_):
@@ -105,9 +121,10 @@ def make_epoch_scan(
     here XLA owns the full loop)."""
 
     gts = tuple(gts)
+    tr = _gts_transposed(gts)
 
     def loss_fn(params, x, y, gts_, mask_):
-        return nll_loss(apply_fn(params, x, gts_), y, mask_)
+        return nll_loss(apply_fn(params, x, gts_), y, mask_, transposed=tr)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state, x, y, gts_, mask_):
@@ -169,6 +186,10 @@ def train_and_time(
     params, apply_fn = build_model(
         model, jax.random.PRNGKey(seed), x.shape[1], hidden, num_classes
     )
+    if _gts_transposed(gts):
+        # the transposed feature layout wants x as [D, R] — one transpose
+        # at setup (x is the full-batch constant), outside the timed loop
+        x = x.T
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     start_step = 0

@@ -94,7 +94,13 @@ class InputProperty:
         manual_mode: bool = False,
         verbose: bool = False,
         agg_dtype: str = "bfloat16",
+        transposed: Optional[bool] = None,
     ):
+        # transposed: feature arrays live [D, R] with graph rows on the
+        # 128-lane axis (the v3 layout — exact-bytes streams, measured
+        # 3-4x faster slab passes, ops/spmm_pallas.py).  None = on for the
+        # hybrid method (models/train/verification all adapt via
+        # ops.aggregate.is_transposed); row-major paths ignore it.
         # agg_dtype: compute dtype for the hybrid tier contractions
         # (accumulation is always f32).  "bfloat16" is the TPU-native
         # default — the 0/1 adjacency and all-ones verification fixtures
@@ -117,6 +123,7 @@ class InputProperty:
         self.manual_mode = manual_mode
         self.verbose = verbose
         self.agg_dtype = agg_dtype
+        self.transposed = transposed
 
         self.reorder_status = False
         self.layer_input: Optional[LayerConfig] = None
@@ -273,10 +280,11 @@ class InputProperty:
             self.hybrid_graph = build_hybrid(
                 self.graph, hot_k=self.hot_k, diag_b=self.diag_b
             )
+            transposed = True if self.transposed is None else self.transposed
             gt_in = build_hybrid_tensors(
                 self.hybrid_graph, device=device,
                 block_rows=li.block_parts, feature_tile=li.feature_tile,
-                agg_dtype=self.agg_dtype,
+                agg_dtype=self.agg_dtype, transposed=transposed,
             )
             gt_hid = with_geometry(gt_in, lh.block_parts, lh.feature_tile)
             return gt_in, gt_hid

@@ -28,12 +28,14 @@ class Verification:
         import jax
         import jax.numpy as jnp
 
-        from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+        from gnnadvisor_osdi21_tpu.ops.aggregate import is_transposed, sag
 
         n_rows = getattr(self.gt, "num_rows", self.graph.num_nodes)
-        x = jnp.ones((n_rows, self.dim), dtype=jnp.float32)
+        tr = is_transposed(self.gt)
+        shape = (self.dim, n_rows) if tr else (n_rows, self.dim)
+        x = jnp.ones(shape, dtype=jnp.float32)
         out = jax.jit(lambda a, g: sag(a, g))(x, self.gt)
-        out = np.asarray(out)
+        out = np.asarray(out).T if tr else np.asarray(out)
         self.result = self.prop.unpad_outputs(out)
         return self.result
 
@@ -73,11 +75,14 @@ class Verification:
         """
         import jax.numpy as jnp
 
-        from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+        from gnnadvisor_osdi21_tpu.ops.aggregate import is_transposed, sag
         from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
 
         n_rows = getattr(self.gt, "num_rows", self.graph.num_nodes)
-        x = jnp.ones((n_rows, self.dim), dtype=jnp.float32)
+        shape = (
+            (self.dim, n_rows) if is_transposed(self.gt) else (n_rows, self.dim)
+        )
+        x = jnp.ones(shape, dtype=jnp.float32)
         sec = chained_device_time(
             lambda a, g: sag(a, g), x, self.gt, iters=min(rounds, 50)
         )

@@ -177,6 +177,78 @@ def test_choose_tiers_sampled_census_is_fast():
     t0 = time.perf_counter()
     diag_b, hot_k = choose_tiers(src, dst, n)
     elapsed = time.perf_counter() - t0
-    assert elapsed < 15.0, f"sampled census took {elapsed:.1f}s"
+    # ~4s unloaded on this 4-core box; generous bound so concurrent bench
+    # campaigns sharing the cores don't flake the suite (the pre-sampling
+    # exact census took minutes at this scale, so the bound still bites)
+    assert elapsed < 45.0, f"sampled census took {elapsed:.1f}s"
     assert diag_b in (0, 512, 1024, 2048, 4096)
     assert hot_k in (0, 512, 1024, 2048, 4096)
+
+
+def test_transposed_aggregate_matches_rowmajor(hybrid_setup):
+    """hybrid_aggregate with transposed tensors ([D, R] in/out) must equal
+    the row-major result exactly (same tiers, boundary transpose on CPU)."""
+    g, hg, ht = hybrid_setup
+    ht_t = build_hybrid_tensors(hg, transposed=True)
+    assert ht_t.transposed
+    x = np.random.default_rng(3).normal(size=(g.num_nodes, 16)).astype(np.float32)
+    xp = jnp.asarray(hg.pad_array(x))
+    for norm in (False, True):
+        want = np.asarray(aggregate(xp, ht, norm))
+        got = np.asarray(aggregate(xp.T, ht_t, norm)).T
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_transposed_gcn_train_step_matches_rowmajor():
+    """A full GCN loss/grad step in the transposed layout must match the
+    row-major one (models, ops and loss all adapt via is_transposed)."""
+    import jax
+
+    from gnnadvisor_osdi21_tpu.models import gcn_apply, init_gcn
+    from gnnadvisor_osdi21_tpu.train import nll_loss
+
+    g = synthesize_graph(2000, 24000, num_features=12, num_classes=4,
+                         kind="community", seed=11)
+    hg = build_hybrid(g, hot_k=512, diag_b=512)
+    ht = build_hybrid_tensors(hg)
+    ht_t = build_hybrid_tensors(hg, transposed=True)
+    params = init_gcn(jax.random.PRNGKey(0), 12, 8, 4)
+    x = jnp.asarray(hg.pad_array(
+        np.random.default_rng(0).normal(size=(g.num_nodes, 12)).astype(np.float32)
+    ))
+    y = jnp.asarray(hg.pad_array(g.init_labels(4)))
+    mask = jnp.asarray(hg.row_mask)
+
+    def loss_row(p):
+        return nll_loss(gcn_apply(p, x, (ht, ht)), y, mask)
+
+    def loss_t(p):
+        return nll_loss(gcn_apply(p, x.T, (ht_t, ht_t)), y, mask,
+                        transposed=True)
+
+    l_row, g_row = jax.value_and_grad(loss_row)(params)
+    l_t, g_t = jax.value_and_grad(loss_t)(params)
+    np.testing.assert_allclose(float(l_t), float(l_row), rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_t[k]), np.asarray(g_row[k]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_transposed_gin_forward_matches_rowmajor():
+    import jax
+
+    from gnnadvisor_osdi21_tpu.models import gin_apply, init_gin
+
+    g = synthesize_graph(1500, 15000, num_features=10, num_classes=3,
+                         kind="powerlaw", seed=12)
+    hg = build_hybrid(g, hot_k=512, diag_b=0)
+    ht = build_hybrid_tensors(hg)
+    ht_t = build_hybrid_tensors(hg, transposed=True)
+    params = init_gin(jax.random.PRNGKey(1), 10, 8, 3)
+    x = jnp.asarray(hg.pad_array(
+        np.random.default_rng(1).normal(size=(g.num_nodes, 10)).astype(np.float32)
+    ))
+    want = np.asarray(gin_apply(params, x, (ht, ht)))
+    got = np.asarray(gin_apply(params, x.T, (ht_t, ht_t))).T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

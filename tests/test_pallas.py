@@ -112,7 +112,7 @@ def test_residual_combine_interpret_matches_reference():
     rd = rng.integers(0, col_space, 400).astype(np.int64)
     # unique (s, d) pairs: the layout dedups edges like CSR inputs do
     rs, rd = np.unique(np.stack([rs, rd]), axis=1)
-    res_gather, res_dst, res_mask, res_t2b, _ = build_residual_stream(
+    res_gather, res_dst, res_mask, res_mask_s, res_t2b, _ = build_residual_stream(
         rs, rd, col_space, num_rows, res_tile, res_ob
     )
     table = rng.standard_normal((col_space, d)).astype(np.float32)
@@ -133,3 +133,115 @@ def test_residual_combine_interpret_matches_reference():
                                atol=1e-5)
     assert not visited[2]  # the empty-block case is actually exercised
     assert np.all(want[64:96] == 0)
+
+
+# ---------------------------------------------------------------------------
+# Transposed (v3) kernels: features [D, R], graph rows on the lane axis.
+# ---------------------------------------------------------------------------
+
+
+def test_slab_matmul_t_hot_matches_oracle():
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import slab_matmul_t
+
+    rng = np.random.default_rng(6)
+    r, k, d = 256, 64, 10  # d=10 exercises sublane padding
+    bits = _random_slab(rng, r, k, 800)
+    x = rng.standard_normal((k, d)).astype(np.float32)
+    want = (unpack_slab(bits, k) @ x).T  # [d, r]
+    got = np.asarray(slab_matmul_t(
+        transpose_slab(bits), x.T.copy(), block_cols=64, interpret=True
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slab_matmul_t_feature_tiling():
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import slab_matmul_t
+
+    rng = np.random.default_rng(7)
+    r, k, d = 128, 96, 300  # d=300 > feature_tile forces a sublane grid
+    bits = _random_slab(rng, r, k, 600)
+    x = rng.standard_normal((k, d)).astype(np.float32)
+    want = (unpack_slab(bits, k) @ x).T
+    got = np.asarray(slab_matmul_t(
+        transpose_slab(bits), x.T.copy(), block_cols=64, feature_tile=128,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_slab_matmul_t_diag_matches_oracle():
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import slab_matmul_t
+
+    rng = np.random.default_rng(8)
+    r, b, d = 512, 128, 12
+    rows = rng.integers(0, r, 2000)
+    cols = rng.integers(0, b, 2000)
+    bits = pack_slab_bits(rows, cols, r, b)
+    x = rng.standard_normal((r, d)).astype(np.float32)
+    a = unpack_slab(bits, b)
+    want = np.concatenate([
+        a[i : i + b] @ x[i : i + b] for i in range(0, r, b)
+    ]).T
+    got = np.asarray(slab_matmul_t(
+        transpose_slab(bits), x.T.copy(), table_block_cols=b, block_cols=64,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_slab_matmul_t_matches_oracle():
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import fused_slab_matmul_t
+
+    rng = np.random.default_rng(9)
+    r, b, k, d = 256, 128, 64, 16
+    drows = rng.integers(0, r, 900)
+    dcols = rng.integers(0, b, 900)
+    dbits = pack_slab_bits(drows, dcols, r, b)
+    hbits = _random_slab(rng, r, k, 500)
+    x = rng.standard_normal((r, d)).astype(np.float32)
+    xh = rng.standard_normal((k, d)).astype(np.float32)
+    da = unpack_slab(dbits, b)
+    want = (np.concatenate([
+        da[i : i + b] @ x[i : i + b] for i in range(0, r, b)
+    ]) + unpack_slab(hbits, k) @ xh).T
+    got = np.asarray(fused_slab_matmul_t(
+        transpose_slab(dbits), transpose_slab(hbits), x.T.copy(),
+        xh.T.copy(), diag_b=b, block_cols=64, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_residual_combine_t_matches_reference():
+    """Transposed residual combine (slot-major mask) == slot-by-slot
+    accumulation, including an unvisited out-block."""
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import build_residual_stream
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import residual_combine_t
+
+    rng = np.random.default_rng(10)
+    res_ob, res_tile, num_rows, d = 32, 32, 128, 16
+    col_space = 64
+    rs = np.concatenate([
+        rng.integers(0, 64, 300), rng.integers(96, 128, 100)
+    ]).astype(np.int64)
+    rd = rng.integers(0, col_space, 400).astype(np.int64)
+    rs, rd = np.unique(np.stack([rs, rd]), axis=1)
+    res_gather, res_dst, _rm, res_mask_s, res_t2b, _ = build_residual_stream(
+        rs, rd, col_space, num_rows, res_tile, res_ob
+    )
+    table = rng.standard_normal((col_space, d)).astype(np.float32)
+    rows_t = table[res_gather][res_dst].T.copy()  # [d, M_pad]
+
+    got = np.asarray(residual_combine_t(
+        rows_t, res_mask_s, res_t2b, num_rows, res_ob, interpret=True
+    ))
+
+    want = np.zeros((num_rows, d), np.float32)
+    for s, dst in zip(rs, rd):
+        want[s] += table[dst]
+    visited = np.zeros(num_rows // res_ob, bool)
+    visited[res_t2b] = True
+    vis_rows = np.repeat(visited, res_ob)
+    np.testing.assert_allclose(
+        got[:, vis_rows], want[vis_rows].T, rtol=1e-5, atol=1e-5
+    )
+    assert not visited[2]
