@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--agg_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="tier compute dtype (the tuned default is bfloat16)")
+    p.add_argument("--rowmajor", action="store_true",
+                   help="use the legacy row-major layout (default: the v3"
+                        " transposed pipeline; per-tier --only diag/hot/res"
+                        " isolation always runs row-major)")
     p.add_argument("--tiers", default="0:0,512:0,0:4096,2048:2048,4096:4096",
                    help="diag_b:hot_k sweep list for --only tiers")
     args = p.parse_args(argv)
@@ -80,15 +84,20 @@ def main(argv=None) -> int:
 
     hot_k = None if args.hotk < 0 else args.hotk
     diag_b = None if args.diagb < 0 else args.diagb
+    transposed = not args.rowmajor
     hg = build_hybrid(graph, hot_k=hot_k, diag_b=diag_b)
-    ht = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype)
+    ht = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype,
+                              transposed=transposed)
+    # the per-tier isolation helpers are row-major internals
+    ht_rm = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype)
     r = hg.num_rows
     print(f"layout: rows={r} diag_b={hg.diag_b} hot_k={hg.hot_k} | "
           f"edges diag={hg.num_diag_edges} hot={hg.num_hot_edges} "
           f"res={hg.num_res_edges} (pairs={hg.num_res_pairs} "
           f"slots={hg.num_res_slots})")
 
-    x = jnp.ones((r, dim), dtype=jnp.float32)
+    x = jnp.ones((dim, r) if transposed else (r, dim), dtype=jnp.float32)
+    x_rm = jnp.ones((r, dim), dtype=jnp.float32)
 
     def report(name, sec):
         rl = spmm_roofline(sec, e, dim, n)
@@ -100,22 +109,45 @@ def main(argv=None) -> int:
         report("hybrid total (sag)", chained_device_time(
             lambda a, h: sag(a, h), x, ht, iters=args.iters))
     if want("diag") and hg.diag_b:
-        report("diag slab only", chained_device_time(
-            lambda a, h: _diag_aggregate(a, h), x, ht, iters=args.iters))
+        report("diag slab only (rowmajor)", chained_device_time(
+            lambda a, h: _diag_aggregate(a, h), x_rm, ht_rm, iters=args.iters))
     if want("hot") and hg.hot_k:
-        report("hot slab only", chained_device_time(
-            lambda a, h: _hot_aggregate(a, h), x, ht, iters=args.iters))
+        report("hot slab only (rowmajor)", chained_device_time(
+            lambda a, h: _hot_aggregate(a, h), x_rm, ht_rm, iters=args.iters))
     if want("res") and hg.num_res_slots:
-        report("residual gather+combine only", chained_device_time(
-            lambda a, h: _residual_aggregate(a, h), x, ht, iters=args.iters))
+        report("residual only (rowmajor)", chained_device_time(
+            lambda a, h: _residual_aggregate(a, h), x_rm, ht_rm, iters=args.iters))
+    if want("rest") and hg.num_res_slots and transposed:
+        # transposed residual tier in isolation (gathers + fused combine)
+        from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _tiers_transposed
+        import dataclasses as _dc
+
+        ht_res = _dc.replace(ht, diag_b=0, hot_k=0, diag_bits=None,
+                             hot_bits=None, hot_ids=None)
+        report("residual only (transposed)", chained_device_time(
+            lambda a, h: _tiers_transposed(a.astype(h.agg_dtype), h),
+            x, ht_res, iters=args.iters))
+    if want("slabt") and hg.diag_b and hg.hot_k and transposed:
+        from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+        def slab_only(a, h):
+            xh = jnp.take(a, h.hot_ids, axis=1).astype(h.agg_dtype)
+            return spmm_pallas.fused_slab_matmul_t(
+                h.diag_bits, h.hot_bits, a.astype(h.agg_dtype), xh, h.diag_b,
+                block_cols=h.block_rows, feature_tile=h.feature_tile)
+        report("fused slab only (transposed)", chained_device_time(
+            slab_only, x, ht, iters=args.iters))
 
     # ---------------- (diag_b, hot_k) sweep on the full pipeline --------
     if want("tiers"):
         for spec in args.tiers.split(","):
             b, k = (int(v) for v in spec.split(":"))
             hgc = build_hybrid(graph, hot_k=k, diag_b=b)
-            htc = build_hybrid_tensors(hgc, agg_dtype=args.agg_dtype)
-            xc = jnp.ones((hgc.num_rows, dim), dtype=jnp.float32)
+            htc = build_hybrid_tensors(hgc, agg_dtype=args.agg_dtype,
+                                       transposed=transposed)
+            xc = jnp.ones(
+                (dim, hgc.num_rows) if transposed else (hgc.num_rows, dim),
+                dtype=jnp.float32)
             sec = chained_device_time(lambda a, h: sag(a, h), xc, htc,
                                       iters=args.iters)
             print(f"diag_b={b:5d} hot_k={k:5d} res={hgc.num_res_edges:8d} "

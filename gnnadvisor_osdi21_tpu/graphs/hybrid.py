@@ -51,20 +51,24 @@ import numpy as np
 
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 
-# Measured cost-model constants, refit by non-negative least squares on the
-# 20-point bf16 (diag_b, hot_k) sweep of 2026-08-18 (bench/levers.py grid +
-# diag-only/hot-only/off corners on the amazon0505-scale graph, v5e; max
-# rel. error 8.8%, correct ranking of the measured frontier).  One slab
-# pass over R rows with C total columns costs R·(SLAB_A + SLAB_B·C); the
-# diagonal and hot slabs share one pass (fused_slab_matmul), so SLAB_A is
-# paid once.  The residual tier pays per unique (out-block, dst) pair
-# (stage-2 gather + combine) and per unique dst row (stage-1 gather).
-SLAB_A_NS = 7.3  # fixed per-output-row pipeline cost (always charged)
-SLAB_B_NS = 0.00158  # per (row, column) slot
-GATHER_NS_PER_ROW = 3.5  # XLA take from a <~150k-row table (stage 2)
-GATHER_BIG_NS = 3.1  # XLA take from a >~300k-row table (stage 1)
-RESID_COMBINE_NS = 1.5  # mask unpack + multi-hot einsum + fat segment_sum
-RESID_DEDUP_EST = 1.5  # typical (out-block, dst) sharing; refined exactly
+# Measured cost-model constants, refit 2026-08-19 against the TRANSPOSED
+# (v3) kernel sweep on the amazon0505-scale graph (v5e; 9-point
+# (diag_b, hot_k) grid + res_ob/res_tile grid + per-stage gather probes,
+# bench/breakdown.py + inline experiments; reproduces the measured totals
+# within ~10% and ranks the frontier correctly at the extremes).
+#
+# Structure the fit revealed: XLA OVERLAPS the slab pallas pass (compute)
+# with the residual tier's gather chain (DMA), so the pipeline cost is
+# ``max(compute, gathers)``, not their sum — the slab tiers are free until
+# their pass time exceeds the gather stream.  The gather chain itself is
+# two dependent XLA gathers with a large fixed launch/ramp cost
+# (~0.7-1.1 ms per op, partially overlapping in context).
+SLAB_A_NS = 2.8  # fixed per-output-column cost of the transposed slab pass
+SLAB_B_NS = 0.001  # per (row, column) slot: VPU unpack + MXU dot
+GATHER_SLOT_NS = 1.74  # stage-2 marginal: one slot gather from the compact table
+GATHER_BIG_NS = 7.0  # stage-1 marginal: one unique-dst gather from full x
+RESID_FIX_NS = 1.6e6  # in-context fixed cost of the two-gather chain
+RESID_PAD_EST = 1.15  # slots / pairs (res_tile padding) at res_ob=1024
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
 # Bit slabs are stored transposed ([words, rows], spmm_pallas docstring),
 # so physical bytes == logical bytes at every width; the cap keeps auto
@@ -155,7 +159,7 @@ def choose_hot_k(
     num_nodes: int,
     num_edges: int,
     max_k: int = 4096,
-    gather_ns: float = GATHER_NS_PER_ROW + RESID_COMBINE_NS,
+    gather_ns: float = GATHER_SLOT_NS * RESID_PAD_EST,
     slab_ns_per_col: float | None = None,
 ) -> int:
     """Hot-set size from the coverage curve + measured cost model: K slab
@@ -186,11 +190,15 @@ def choose_tiers(
     num_nodes: int,
     hot_k: int | None = None,
     diag_b: int | None = None,
-    res_ob: int = 256,
+    res_ob: int = 1024,
 ) -> tuple[int, int]:
-    """Jointly pick (diag_b, hot_k) minimizing the measured cost
-    ``R·(SLAB_A + SLAB_B·(B+K)) + res_ns·unique_pairs(B,K)
-    + GATHER_BIG·unique_dst(B,K)``.
+    """Jointly pick (diag_b, hot_k) minimizing the measured pipeline cost
+    ``max(slab_compute, residual_gather_stream)`` where
+    ``slab = R·(SLAB_A + SLAB_B·(B+K))`` and ``gathers = RESID_FIX +
+    GATHER_BIG·unique_dst(B,K) + GATHER_SLOT·PAD·unique_pairs(B,K)``.
+    The max form is measured, not assumed: XLA overlaps the slab pallas
+    pass with the residual gather chain (the gather DMAs hide the slab
+    compute entirely at tuned tiers — bench/breakdown.py, 2026-08-19).
 
     Every feasible candidate is priced with the *exact* unique
     (out-block, dst) pair and unique dst counts — the quantities the
@@ -211,7 +219,7 @@ def choose_tiers(
         return (diag_b or 0, hot_k or 0)
     if diag_b is not None and hot_k is not None:
         return diag_b, hot_k
-    res_ns = GATHER_NS_PER_ROW + RESID_COMBINE_NS
+    slot_ns = GATHER_SLOT_NS * RESID_PAD_EST
     b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
     best = None
     for b in b_cands:
@@ -256,8 +264,8 @@ def choose_tiers(
             if rows * bits_bytes_per_row > SLAB_MEM_CAP_BYTES:
                 continue  # candidate would blow the HBM budget
             # SLAB_A is charged even with both tiers off: it is the fixed
-            # per-output-row pipeline cost (block accumulate + final
-            # combine), which the fit attributes per row regardless.
+            # per-output-column pipeline cost (block accumulate + final
+            # combine), which the fit attributes per column regardless.
             slab = rows * (
                 SLAB_A_NS
                 + SLAB_B_NS * (b + k)
@@ -271,7 +279,15 @@ def choose_tiers(
                 uniq_dst = nz_dst - (int(cum_nzdst[kk - 1]) if kk else 0)
             else:
                 uniq = uniq_dst = 0
-            cost = slab + res_ns * uniq + GATHER_BIG_NS * uniq_dst
+            gathers = (
+                RESID_FIX_NS + GATHER_BIG_NS * uniq_dst + slot_ns * uniq
+                if uniq
+                else 0.0
+            )
+            # partial overlap: the smaller stream hides under the larger
+            # one at ~50% efficiency (measured: full overlap at tuned
+            # tiers, but wide slabs leak back into the critical path)
+            cost = max(slab, gathers) + 0.5 * min(slab, gathers)
             if best is None or cost < best[0]:
                 best = (cost, b, k)
     if best is None:  # every candidate hit the memory cap: tiers off
@@ -284,7 +300,11 @@ def build_hybrid(
     hot_k: int | None = None,
     diag_b: int | None = None,
     res_tile: int = 256,  # measured best: big einsum batches beat padding
-    res_ob: int = 256,
+    # 1024-row output blocks measured best on the transposed pipeline
+    # (2026-08-19 res_ob grid): bigger blocks dedup more pairs AND pad
+    # fewer slots, and the combine's wider unpack stays hidden under the
+    # gather stream up to ~1024; 2048+ stops hiding.
+    res_ob: int = 1024,
     feature_dim: int | None = None,  # kept for API compat; layout is D-free
     row_align: int = 512,
 ) -> HybridGraph:

@@ -125,11 +125,16 @@ def test_hybrid_gcn_conv_grads(hybrid_setup):
 
 
 def test_choose_hot_k_prefers_skew():
-    skew = synthesize_graph(20000, 300000, kind="powerlaw", seed=2, zipf_a=1.3)
-    flat = synthesize_graph(20000, 300000, kind="uniform", seed=2)
+    """At a node count where a hot column costs more slab area than a flat
+    graph's per-column coverage can repay, only the skewed graph earns a
+    hot tier.  (At small N the v3 constants make hot columns profitable
+    even for uniform graphs — both pick the max — so the discriminating
+    regime is sparse-and-large.)"""
+    skew = synthesize_graph(200000, 400000, kind="powerlaw", seed=2, zipf_a=1.5)
+    flat = synthesize_graph(200000, 400000, kind="uniform", seed=2)
     k_skew = choose_hot_k(skew.column_index, skew.num_nodes, skew.nnz)
     k_flat = choose_hot_k(flat.column_index, flat.num_nodes, flat.nnz)
-    assert k_skew >= k_flat
+    assert k_skew > k_flat == 0
 
 
 def test_choose_tiers_manual_passthrough():
