@@ -295,6 +295,29 @@ def choose_tiers(
     return best[1], best[2]
 
 
+def model_pipeline_ns(hg: "HybridGraph") -> dict:
+    """Refit-model cost of one SpMM over a BUILT layout, from its exact
+    censuses (slots include real padding, not the RESID_PAD_EST estimate).
+    Returns the per-term breakdown — the auditable companion to the
+    measured bench number (bench.py prints modeled vs achieved)."""
+    slab_cols = hg.diag_b + hg.hot_k
+    slab = hg.num_rows * (
+        SLAB_A_NS + SLAB_B_NS * slab_cols
+        + (slab_cols // 8) / HBM_BYTES_PER_NS
+    ) if slab_cols else 0.0
+    gathers = (
+        RESID_FIX_NS
+        + GATHER_BIG_NS * len(hg.res_gather)
+        + GATHER_SLOT_NS * hg.num_res_slots
+    ) if hg.num_res_slots else 0.0
+    total = max(slab, gathers) + 0.5 * min(slab, gathers)
+    return {
+        "slab_ns": slab,
+        "gather_ns": gathers,
+        "total_ns": total,
+    }
+
+
 def build_hybrid(
     graph: GraphCSR,
     hot_k: int | None = None,
