@@ -28,13 +28,17 @@ DATASETS = {
     "cora": (2708, 10556, 1433, 7, "I", "community"),
     "pubmed": (19717, 88648, 500, 3, "I", "community"),
     "ppi": (56944, 818716, 50, 121, "I", "web"),
-    # Type II — chemical compound collections (many small components)
-    "PROTEINS_full": (43471, 162088, 29, 2, "II", "community"),
-    "OVCAR-8H": (1890931, 3946402, 66, 2, "II", "community"),
-    "Yeast": (1714644, 3636546, 74, 2, "II", "community"),
-    "DD": (334925, 1686092, 89, 2, "II", "community"),
-    "TWITTER-Real-Graph-Partial": (580768, 1435116, 1323, 2, "II", "community"),
-    "SW-620H": (1889971, 3944206, 66, 2, "II", "community"),
+    # Type II — chemical compound collections: thousands of small disjoint
+    # molecule graphs with contiguous node ids (TUDataset concatenation) —
+    # synthesized as such ("compound"; an earlier "community" stand-in
+    # produced one giant connected component, misrepresenting the
+    # near-block-diagonal structure these datasets actually have)
+    "PROTEINS_full": (43471, 162088, 29, 2, "II", "compound"),
+    "OVCAR-8H": (1890931, 3946402, 66, 2, "II", "compound"),
+    "Yeast": (1714644, 3636546, 74, 2, "II", "compound"),
+    "DD": (334925, 1686092, 89, 2, "II", "compound"),
+    "TWITTER-Real-Graph-Partial": (580768, 1435116, 1323, 2, "II", "compound"),
+    "SW-620H": (1889971, 3944206, 66, 2, "II", "compound"),
     # Type III — SNAP social / co-purchase networks
     "amazon0505": (410236, 4878874, 96, 22, "III", "web"),
     "artist": (50515, 1638396, 100, 12, "III", "web"),

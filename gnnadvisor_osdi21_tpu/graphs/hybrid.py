@@ -133,6 +133,10 @@ class HybridGraph:
     num_res_edges: int = 0
     num_res_pairs: int = 0  # unique (block, dst) pairs
     num_res_slots: int = 0  # including padding
+    # True when every res_ob block has >=1 residual tile: the kernel then
+    # writes every output row and the caller skips the visited-block
+    # select (a full [D, R] read+write pass — 1+ ms at Type II scale)
+    res_covers_all: bool = False
 
     # identity maps kept for API parity with relabeling layouts
     @property
@@ -318,33 +322,63 @@ def model_pipeline_ns(hg: "HybridGraph") -> dict:
     }
 
 
+# residual-geometry candidates for the adaptive choice (choose_res_geometry)
+RES_OB_CANDIDATES = (1024, 2048, 4096, 8192, 16384)
+RES_TILE_CANDIDATES = (128, 256)
+RES_TILE_STEP_NS = 500.0  # measured combine-kernel grid-step overhead
+
+
+def choose_res_geometry(
+    rs: np.ndarray, rd: np.ndarray, num_nodes: int
+) -> tuple[int, int]:
+    """Pick (res_ob, res_tile) for the residual tier from its exact pair
+    census: cost = slots·(GATHER_SLOT + SLAB_B·OB) + tiles·step_overhead,
+    where ``slots`` is the per-block padded count (bigger blocks dedup
+    more pairs AND pad fewer tiles, but the combine unpack grows with OB).
+    Input-adaptive like the slab tiers: compound collections (Type II,
+    few pairs spread over many blocks) want huge sparse blocks, web graphs
+    (dense pair streams) want 1024 (2026-08-19 grids on both)."""
+    if not len(rs):
+        return 1024, 256
+    best = None
+    for ob in RES_OB_CANDIDATES:
+        key = (rs // ob) * np.int64(num_nodes + 1) + rd
+        ukey = np.unique(key)
+        counts_b = np.bincount(ukey // (num_nodes + 1))
+        for rt in RES_TILE_CANDIDATES:
+            slots = int((-(-counts_b // rt) * rt).sum())
+            tiles = slots // rt
+            cost = (
+                slots * (GATHER_SLOT_NS + SLAB_B_NS * ob)
+                + tiles * RES_TILE_STEP_NS
+            )
+            if best is None or cost < best[0]:
+                best = (cost, ob, rt)
+    return best[1], best[2]
+
+
 def build_hybrid(
     graph: GraphCSR,
     hot_k: int | None = None,
     diag_b: int | None = None,
-    res_tile: int = 256,  # measured best: big einsum batches beat padding
-    # 1024-row output blocks measured best on the transposed pipeline
-    # (2026-08-19 res_ob grid): bigger blocks dedup more pairs AND pad
-    # fewer slots, and the combine's wider unpack stays hidden under the
-    # gather stream up to ~1024; 2048+ stops hiding.
-    res_ob: int = 1024,
+    res_tile: int | None = None,
+    res_ob: int | None = None,
     feature_dim: int | None = None,  # kept for API compat; layout is D-free
     row_align: int = 512,
 ) -> HybridGraph:
     """Build the three-tier layout.  ``hot_k``/``diag_b`` default to the
-    measured-cost-model choice (``choose_tiers``); pass explicit values
-    (including 0 to disable a tier) for manual mode / studies."""
+    measured-cost-model choice (``choose_tiers``); ``res_ob``/``res_tile``
+    to the residual-census choice (``choose_res_geometry``); pass explicit
+    values (including 0 to disable a tier) for manual mode / studies."""
     n = graph.num_nodes
     rp = np.asarray(graph.row_pointers, dtype=np.int64)
     ci = np.asarray(graph.column_index, dtype=np.int64)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
     diag_b, hot_k = choose_tiers(
-        src, ci, n, hot_k=hot_k, diag_b=diag_b, res_ob=res_ob
+        src, ci, n, hot_k=hot_k, diag_b=diag_b, res_ob=res_ob or 1024
     )
     assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
-
-    num_rows = _round_up(max(n, 1), max(diag_b, res_ob, row_align))
 
     # --- classify edges: diag > hot > residual --------------------------
     if diag_b:
@@ -357,6 +391,23 @@ def build_hybrid(
         counts = np.bincount(ci[~in_diag], minlength=n)
         top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
         top = top[counts[top] > 0]  # columns with no edges stay padding
+        hot_col = np.full(n, -1, dtype=np.int64)
+        hot_col[top] = np.arange(len(top))
+        in_hot = (~in_diag) & (hot_col[ci] >= 0)
+    else:
+        top = np.zeros(0, dtype=np.int32)
+        in_hot = np.zeros(len(src), dtype=bool)
+
+    in_res = ~(in_diag | in_hot)
+
+    # --- residual geometry (input-adaptive) + final row space ------------
+    if res_ob is None or res_tile is None:
+        auto_ob, auto_rt = choose_res_geometry(src[in_res], ci[in_res], n)
+        res_ob = res_ob or auto_ob
+        res_tile = res_tile or auto_rt
+    num_rows = _round_up(max(n, 1), max(diag_b, res_ob, row_align))
+
+    if hot_k:
         # Padding columns never set a bit, so any id is *correct*; point
         # them at a dedicated zero row (the first pad row) so they gather
         # zeros, not K-len(top) copies of a real row — no wasted bandwidth
@@ -366,14 +417,8 @@ def build_hybrid(
         pad_id = n if n < num_rows else 0
         hot_ids = np.full(hot_k, pad_id, dtype=np.int32)
         hot_ids[: len(top)] = top
-        hot_col = np.full(n, -1, dtype=np.int64)
-        hot_col[top] = np.arange(len(top))
-        in_hot = (~in_diag) & (hot_col[ci] >= 0)
     else:
         hot_ids = np.zeros(0, dtype=np.int32)
-        in_hot = np.zeros(len(src), dtype=bool)
-
-    in_res = ~(in_diag | in_hot)
 
     from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
         pack_slab_bits, transpose_slab,
@@ -429,6 +474,9 @@ def build_hybrid(
         num_res_edges=int(in_res.sum()),
         num_res_pairs=num_res_pairs,
         num_res_slots=len(res_dst),
+        res_covers_all=(
+            len(np.unique(res_t2b)) == num_rows // res_ob
+        ),
     )
 
 

@@ -266,6 +266,44 @@ def synthesize_graph(
             order[comm_start[c] + d_off],
             rng.integers(0, num_nodes, size=num_edges),
         )
+    elif kind == "compound":
+        # Disjoint small molecule-like components — the actual structure of
+        # the Type II roster entries (TUDataset chemical-compound
+        # collections: OVCAR-8H / Yeast / SW-620H / DD / PROTEINS_full are
+        # thousands of ~10-160-atom graphs concatenated with contiguous
+        # node ids; avg degree ~2-5).  Each component gets a path backbone
+        # (degree ~2, like organic molecules) plus random intra-component
+        # ring-closure edges to meet the edge budget.  An earlier
+        # "community" stand-in produced ONE giant connected component,
+        # which misrepresents both the locality structure (real compound
+        # collections are near-block-diagonal) and the reorder economics.
+        sizes = []
+        total = 0
+        while total < num_nodes:
+            s = int(rng.normal(47.0, 18.0))
+            s = min(max(8, min(s, 160)), num_nodes - total)
+            sizes.append(s)
+            total += s
+        sizes = np.asarray(sizes, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        # path backbone, both directions
+        inner = np.arange(num_nodes, dtype=np.int64)
+        is_last = np.zeros(num_nodes, dtype=bool)
+        is_last[starts + sizes - 1] = True
+        heads = inner[~is_last]
+        src = np.concatenate([heads, heads + 1])
+        dst = np.concatenate([heads + 1, heads])
+        extra = num_edges - len(src)
+        if extra > 0:
+            # ring closures: random pairs within a size-weighted component
+            c = rng.choice(len(sizes), size=extra, p=sizes / sizes.sum())
+            a = starts[c] + rng.integers(0, sizes[c])
+            b = starts[c] + rng.integers(0, sizes[c])
+            src = np.concatenate([src, a])
+            dst = np.concatenate([dst, b])
+        else:
+            keep = rng.permutation(len(src))[:num_edges]
+            src, dst = src[keep], dst[keep]
     elif kind == "web":
         # Realistic web/co-purchase topology: communities with *internal*
         # preferential attachment (local hubs) + a global zipf backbone —

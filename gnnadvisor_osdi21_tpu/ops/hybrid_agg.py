@@ -69,6 +69,8 @@ class HybridTensors:
     # (bench/fixprobe.py).  When True, hybrid_aggregate takes and returns
     # [D, R] arrays and the models run transposed end-to-end.
     transposed: bool = False
+    # every res_ob block has >=1 residual tile -> skip the visited select
+    res_covers_all: bool = False
 
     @property
     def method(self) -> str:
@@ -84,6 +86,7 @@ jax.tree_util.register_dataclass(
     meta_fields=[
         "num_rows", "real_nodes", "diag_b", "hot_k", "res_tile", "res_ob",
         "block_rows", "feature_tile", "agg_dtype", "transposed",
+        "res_covers_all",
     ],
 )
 
@@ -124,6 +127,7 @@ def build_hybrid_tensors(
         feature_tile=feature_tile,
         agg_dtype=agg_dtype,
         transposed=transposed,
+        res_covers_all=hg.res_covers_all,
     )
 
 
@@ -216,6 +220,8 @@ def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
         out = spmm_pallas.residual_combine(
             rows, ht.res_mask, ht.res_t2b, ht.num_rows, ht.res_ob
         )
+        if ht.res_covers_all:
+            return out
         # blocks with no residual tiles are never visited by the kernel
         # grid; select their rows to exact zeros
         visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
@@ -310,11 +316,14 @@ def _tiers_transposed(x_t: jax.Array, ht: HybridTensors) -> jax.Array:
             rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
             feature_tile=ht.feature_tile,
         )
-        n_blocks = ht.num_rows // ht.res_ob
-        visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
-            True, indices_are_sorted=True
-        )
-        r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+        if not ht.res_covers_all:
+            # blocks with no residual tiles were never visited by the
+            # kernel grid; select their rows to exact zeros
+            n_blocks = ht.num_rows // ht.res_ob
+            visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
+                True, indices_are_sorted=True
+            )
+            r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
         out = r if out is None else out + r
     if out is None:
         out = jnp.zeros(x_t.shape, jnp.float32)
