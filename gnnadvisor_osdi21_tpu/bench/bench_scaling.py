@@ -80,6 +80,29 @@ def main(argv=None) -> int:
             f"{nd},{ms:.2f},{g.nnz / ms * 1e3:.3g},{sg.halo},{interior:.3f}",
             flush=True,
         )
+
+        # --- modeled ICI comm time vs per-chip compute --------------------
+        # This box tunnels ONE chip, so real multi-chip wall time cannot be
+        # measured; the plan statistics + link bandwidth give the paper
+        # argument for the >=2x-at-2-hosts target.  Per GCN epoch each
+        # layer exchanges the halo rows once forward and once backward
+        # (all_to_all adjoint), so comm bytes ~= 4 * halo * dim * 4 B.
+        # v5e ICI: ~1600 Gbps aggregate per chip (~200 GB/s, public specs);
+        # DCN-crossing layouts would be ~10x slower per hop.
+        ici_bps = 200e9
+        comm_ms = 4 * sg.halo * args.dim * 4 / ici_bps * 1e3
+        if nd == 1:
+            t1_ms = ms
+        compute_ms = t1_ms / nd
+        overlapped = max(compute_ms, comm_ms)
+        serial = compute_ms + comm_ms
+        print(
+            f"  model nd={nd}: compute/chip {compute_ms:.2f} ms, ICI comm "
+            f"{comm_ms:.3f} ms -> epoch {overlapped:.2f}-{serial:.2f} ms, "
+            f"speedup x{t1_ms / serial:.2f}-x{t1_ms / overlapped:.2f} "
+            f"(interior {interior:.0%} overlaps the exchange)",
+            flush=True,
+        )
     return 0
 
 

@@ -399,13 +399,15 @@ def residual_combine(
 def _feature_tiles_t(d: int, feature_tile: int):
     """Sublane tiling for the feature axis of transposed operands.
 
-    Multiples of 16 cover both f32 (8-row tiles) and bf16 (16-row tiles);
-    small feature dims run as one full-height tile (Mosaic's full-dim
-    exemption)."""
+    Multiples of 16 cover both f32 (8-row tiles) and bf16 (16-row tiles).
+    ``feature_tile`` is the dimWorker analog and genuinely binds: explicit
+    small values force a feature grid (the s7-4_2 study's pathological
+    arms), while the decider's auto value covers the whole dim in one tile
+    (Mosaic's full-dim exemption)."""
     dp16 = _round_up(max(d, 1), 16)
-    if dp16 <= max(feature_tile, 128):
+    td = min(dp16, max(_round_up(feature_tile, 16), 16))
+    if td == dp16:
         return dp16, dp16
-    td = _round_up(feature_tile, 16)
     return td, _round_up(d, td)
 
 

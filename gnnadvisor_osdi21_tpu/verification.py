@@ -55,13 +55,23 @@ class Verification:
 
     def compare(self, tolerance: float = 1e-4) -> bool:
         """Pass iff the mismatch fraction is below ``tolerance``
-        (unitest.py:54-63; mismatch = not close at bf16-level rtol)."""
-        close = np.isclose(self.result, self.result_ref, rtol=1e-2, atol=1e-3)
+        (unitest.py:54-63).  Closeness is judged per compute dtype:
+        float32 kernels must match the oracle at f32 accumulation
+        tightness (rtol 1e-4), bfloat16 tier contractions at bf16 rounding
+        (rtol 1e-2) — a loose blanket tolerance would hide f32-path bugs."""
+        agg_dtype = getattr(self.gt, "agg_dtype", "float32")
+        if agg_dtype == "float32":
+            rtol, atol = 1e-4, 1e-5
+        else:
+            rtol, atol = 1e-2, 1e-3
+        close = np.isclose(self.result, self.result_ref, rtol=rtol, atol=atol)
         frac = 1.0 - close.mean()
         if frac < tolerance:
-            print(f"# Verification PASSED (mismatch fraction {frac:.2e})")
+            print(f"# Verification PASSED (mismatch fraction {frac:.2e}, "
+                  f"agg_dtype={agg_dtype})")
             return True
-        print(f"# Verification FAILED (mismatch fraction {frac:.2e})")
+        print(f"# Verification FAILED (mismatch fraction {frac:.2e}, "
+              f"agg_dtype={agg_dtype})")
         return False
 
     def profile_spmm(self, rounds: int = 200) -> float:
