@@ -265,15 +265,19 @@ def train_and_time(
 
 
 def accuracy(
-    log_probs: jax.Array, labels: jax.Array, mask: jax.Array | None = None
+    log_probs: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array | None = None,
+    transposed: bool = False,
 ) -> jax.Array:
     """Classification accuracy over (optionally masked) nodes.
 
     The reference omits accuracy entirely (labels are synthetic all-ones,
     README.md:195); provided here because real datasets have real labels and
     the masks (train 100% / val 30% / test 10%, dataset.py:45-53) exist.
+    ``transposed`` means log_probs is [classes, N] (the v3 layout).
     """
-    pred = jnp.argmax(log_probs, axis=1)
+    pred = jnp.argmax(log_probs, axis=0 if transposed else 1)
     hit = (pred == labels.astype(pred.dtype)).astype(jnp.float32)
     if mask is None:
         return hit.mean()

@@ -87,3 +87,13 @@ def test_scan_chunking_respects_exec_budget(small_graph, monkeypatch):
     # probe re-run doubles the warmup epochs: 2*2 dry + 7 timed
     assert res["step"] == 11
     assert np.isfinite(res["final_loss"])
+
+
+def test_accuracy_helper_transposed():
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.train import accuracy
+
+    lp = jnp.log(jnp.asarray([[0.9, 0.2, 0.4], [0.1, 0.8, 0.6]]))  # [C, N]
+    y = jnp.asarray([0, 1, 0])
+    assert float(accuracy(lp, y, transposed=True)) == pytest.approx(2 / 3)
