@@ -56,10 +56,15 @@ def _quiesce_campaign(max_wait_s: float = 900.0) -> None:
                 continue
             try:
                 with open(f"/proc/{ent}/cmdline", "rb") as fp:
-                    cmd = fp.read().replace(b"\0", b" ").decode()
+                    cmd = fp.read().replace(b"\0", b" ").decode(
+                        errors="replace"
+                    )
             except OSError:
                 continue  # process exited mid-scan
-            if "-m gnnadvisor_osdi21_tpu " in cmd:
+            # matches the campaign's CLI children AND the baseline
+            # campaign's `-m gnnadvisor_osdi21_tpu.baselines.*` runs —
+            # anything under the package may hold the chip
+            if "-m gnnadvisor_osdi21_tpu" in cmd:
                 busy = True
                 break
         if not busy:

@@ -146,8 +146,24 @@ def main(argv=None) -> int:
         only = argv[idx]
     os.makedirs(RUN_DIR, exist_ok=True)
     if "--assemble-only" not in argv:
-        for tag, _b, _m, _n, cmd in configs(quick, only):
-            _run_one(tag, cmd)
+        # same quiesce handshake as bench/campaign.py: record our PID at
+        # the repo root so bench.py can stop this driver before taking
+        # the chip (the jax_naive arm runs on the TPU)
+        pidfile = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "campaign.pid",
+        )
+        with open(pidfile, "w") as fp:
+            fp.write(f"campaign:{os.getpid()}\n")
+        try:
+            for tag, _b, _m, _n, cmd in configs(quick, only):
+                _run_one(tag, cmd)
+        finally:
+            try:
+                os.remove(pidfile)
+            except OSError:
+                pass
     assemble(quick)
     return 0
 

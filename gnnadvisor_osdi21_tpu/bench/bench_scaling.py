@@ -91,8 +91,8 @@ def main(argv=None) -> int:
         # DCN-crossing layouts would be ~10x slower per hop.
         ici_bps = 200e9
         comm_ms = 4 * sg.halo * args.dim * 4 / ici_bps * 1e3
-        if nd == 1:
-            t1_ms = ms
+        if nd == min(dev_list):
+            t1_ms = ms * min(dev_list)  # per-chip-equivalent single baseline
         compute_ms = t1_ms / nd
         overlapped = max(compute_ms, comm_ms)
         serial = compute_ms + comm_ms

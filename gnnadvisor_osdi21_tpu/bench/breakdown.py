@@ -88,8 +88,11 @@ def main(argv=None) -> int:
     hg = build_hybrid(graph, hot_k=hot_k, diag_b=diag_b)
     ht = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype,
                               transposed=transposed)
-    # the per-tier isolation helpers are row-major internals
-    ht_rm = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype)
+    # the per-tier isolation helpers are row-major internals; only pay the
+    # second device copy of the layout when one of them is requested
+    ht_rm = ht
+    if transposed and (want("diag") or want("hot") or want("res")):
+        ht_rm = build_hybrid_tensors(hg, agg_dtype=args.agg_dtype)
     r = hg.num_rows
     print(f"layout: rows={r} diag_b={hg.diag_b} hot_k={hg.hot_k} | "
           f"edges diag={hg.num_diag_edges} hot={hg.num_hot_edges} "

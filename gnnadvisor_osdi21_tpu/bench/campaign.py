@@ -196,8 +196,13 @@ def main(argv=None) -> int:
         only = argv[idx]
     os.makedirs(RUN_DIR, exist_ok=True)
     # record our PID so bench.py's _quiesce_campaign can stop exactly this
-    # driver (never a pattern match) before taking the chip
-    pidfile = "campaign.pid"
+    # driver (never a pattern match) before taking the chip; anchored at
+    # the repo root (where bench.py reads it), not the CWD
+    pidfile = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "campaign.pid",
+    )
     with open(pidfile, "w") as fp:
         fp.write(f"campaign:{os.getpid()}\n")
     try:

@@ -6,11 +6,9 @@ Hypothesis: a [R, 16] f32 output is physically [R, 128] under the TPU's
 padding; storing features transposed ([D, R], rows on the lane axis) makes
 all streaming exact-bytes.  Variants measured:
 
-1. write-only kernel, out [R, 16]            -> the pure out-write floor
-2. write-only kernel, out [16, R] transposed -> the fix's floor
-3. bit slab with transposed out (swap dot operands)
-4. int8 slab with transposed out
-5. XLA gather cost from [R, 16] (axis 0) vs [16, R] (axis 1) — the
+1. bit slab with transposed out (swap dot operands), K sweep
+2. int8 slab with transposed out, K sweep
+3. XLA gather cost from [R, 16] (axis 0) vs [16, R] (axis 1) — the
    residual tier's stage gathers under each storage layout.
 
 Usage: python -m gnnadvisor_osdi21_tpu.bench.fixprobe   (on the TPU)
@@ -51,26 +49,6 @@ def main(argv=None) -> int:
     def report(name, sec, denom_rows=r):
         print(f"{name:44s} {sec*1e3:7.3f} ms  {sec/denom_rows*1e9:6.2f} ns/row",
               flush=True)
-
-    # 1/2: write-only kernels ------------------------------------------------
-    def _wk(o_ref):
-        o_ref[:] = jnp.full_like(o_ref, 1.0)
-
-    @functools.partial(jax.jit, static_argnames=("shape", "blk", "axis"))
-    def write_only(s, shape, blk, axis):
-        grid = (shape[axis] // blk,)
-        if axis == 0:
-            spec = pl.BlockSpec((blk, shape[1]), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        else:
-            spec = pl.BlockSpec((shape[0], blk), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            _wk, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-            grid_spec=pl.GridSpec(grid=grid, in_specs=[], out_specs=spec),
-        )()
-        # fold to scalar so chained timing can feed it back
-        return s + jnp.sum(out[:1, :1])
 
 
 

@@ -212,9 +212,10 @@ def choose_tiers(
     hot sets are nested along the in-degree order, so every hot_k
     candidate reads its pair count off a cumulative sum, and the stage-1
     unique-dst count follows from the degree histogram alone.  Above
-    ``CENSUS_EDGE_LIMIT`` edges the pair census samples whole output
-    blocks (pairs partition by block, so ``stride x sampled-count`` is an
-    unbiased estimate); below it the census is exact.  Fixing either
+    ``CENSUS_EDGE_LIMIT`` edges the pair census samples a pseudo-random
+    (hash-selected) 1/stride of whole output blocks — pairs partition by
+    block, so ``stride x sampled-count`` is unbiased over the block
+    sample; below the limit the census is exact.  Fixing either
     parameter (manual mode) restricts the search to the other; fixing
     both passes through (param.py:58-70).
     """
@@ -245,7 +246,12 @@ def choose_tiers(
         blk = osrc // res_ob
         if len(od) > CENSUS_EDGE_LIMIT:
             stride = -(-len(od) // CENSUS_EDGE_LIMIT)
-            sel = (blk % stride) == 0
+            # pseudo-random block sample via a multiplicative hash —
+            # NOT blk % stride, which would always keep block 0 and bias
+            # toward whatever structure lives at low node ids after
+            # reordering (communities/hubs)
+            h = (blk * np.int64(2654435761)) & np.int64(0xFFFFFFFF)
+            sel = (h % stride) == 0
             keys = blk[sel] * np.int64(num_nodes + 1) + od[sel]
         else:
             stride = 1
