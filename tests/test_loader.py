@@ -58,3 +58,28 @@ def test_synth_kinds():
         assert g.nnz > 0
         assert np.all(np.asarray(g.column_index) < 300)
         assert g.row_pointers[-1] == g.nnz
+
+
+def test_compound_synthesis_structure():
+    """Type II synthesis must look like a TUDataset compound collection:
+    many small disjoint components with contiguous ids, avg degree ~2+
+    (loader 'compound' kind; see bench/datasets.py Type II entries)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+
+    g = synthesize_graph(20000, 42000, kind="compound", seed=3)
+    n = g.num_nodes
+    src = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(np.asarray(g.row_pointers)))
+    ci = np.asarray(g.column_index, dtype=np.int64)
+    adj = sp.coo_matrix((np.ones(len(src)), (src, ci)), shape=(n, n)).tocsr()
+    ncomp, labels = sp.csgraph.connected_components(adj, directed=False)
+    sizes = np.bincount(labels)
+    assert ncomp > 100 and sizes.max() <= 160
+    # contiguous ids per component -> near-total diagonal-block coverage
+    cov = np.mean(src // 512 == ci // 512)
+    assert cov > 0.9
+    # symmetric backbone: every node reachable (no isolated vertices)
+    assert sizes.min() >= 2
