@@ -80,12 +80,17 @@ def study_configs(quick: bool):
             ], epochs), f"++ rabbit: {flag}\n{ds}---rabbit: {flag}"
 
     for ps in PARTSIZES[:3] if quick else PARTSIZES:
+        # partSize >= 256 pads the gather volume ~20-30x (deliberately
+        # pathological reference arms, s7-4_1:5) and runs 15-30 s/epoch;
+        # 10 timed epochs give the same stable per-epoch mean without
+        # spending hours of chip time on a point nothing uses
+        arm_epochs = 10 if ps >= 256 else epochs
         for ds in graphs:
             yield f"partsize_{ps}_{ds}", "partsize", _config_cmd(ds, [
                 "--manual_mode", "True", "--method", "ell",
                 "--partSize", str(ps), "--hidden", "16",
                 "--use_scan", "False",
-            ], epochs), f"++ Part-size: {ps}\n{ds}---partsize: {ps}"
+            ], arm_epochs), f"++ Part-size: {ps}\n{ds}---partsize: {ps}"
 
     for dw in DIM_TILES[:3] if quick else DIM_TILES:
         for ds in graphs:
