@@ -192,11 +192,17 @@ def main(argv=None) -> int:
         os.makedirs(LOG_DIR, exist_ok=True)
         # appended last, so it overrides the per-config epoch count
         SMOKE_ARGS.extend(["--platform", "cpu", "--num_epoches", "3"])
+    if "--assemble-only" in argv:
+        # rebuild the CSVs from whatever per-run logs exist (idempotent;
+        # lets an interrupted sweep still publish its completed points)
+        _assemble(quick)
+        return 0
     only = None
     if "--only" in argv:
         idx = argv.index("--only") + 1
         if idx >= len(argv) or argv[idx] not in ("roster", "studies"):
-            print("usage: campaign [--quick] [--smoke] [--only roster|studies]")
+            print("usage: campaign [--quick] [--smoke] [--only roster|studies]"
+                  " [--assemble-only]")
             return 2
         only = argv[idx]
     os.makedirs(RUN_DIR, exist_ok=True)
