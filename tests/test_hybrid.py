@@ -257,3 +257,37 @@ def test_transposed_gin_forward_matches_rowmajor():
     want = np.asarray(gin_apply(params, x, (ht, ht)))
     got = np.asarray(gin_apply(params, x.T, (ht_t, ht_t))).T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_choose_res_geometry_adapts_to_structure():
+    """Sparse pair streams (few pairs over many blocks — compound
+    collections) should pick big sparse blocks; dense streams keep
+    smaller blocks (measured grids, DESIGN.md §7)."""
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import choose_res_geometry
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    # sparse: 20k pairs spread over the whole row space
+    rs = rng.integers(0, n, size=20_000).astype(np.int64)
+    rd = rng.integers(0, n, size=20_000).astype(np.int64)
+    ob_sparse, _ = choose_res_geometry(rs, rd, n)
+    # dense: 400k pairs concentrated in the first quarter
+    rs2 = rng.integers(0, n // 4, size=400_000).astype(np.int64)
+    rd2 = rng.integers(0, n, size=400_000).astype(np.int64)
+    ob_dense, _ = choose_res_geometry(rs2, rd2, n)
+    assert ob_sparse > ob_dense
+    assert choose_res_geometry(rs[:0], rd[:0], n) == (1024, 256)
+
+
+def test_model_pipeline_ns_breakdown():
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import model_pipeline_ns
+
+    g = synthesize_graph(4000, 60000, kind="powerlaw", seed=9)
+    hg = build_hybrid(g, hot_k=512, diag_b=512)
+    m = model_pipeline_ns(hg)
+    assert m["slab_ns"] > 0 and m["total_ns"] >= max(m["slab_ns"],
+                                                     m["gather_ns"])
+    # no residual -> no gather term
+    hg2 = build_hybrid(g, hot_k=0, diag_b=0)
+    if hg2.num_res_slots:
+        assert model_pipeline_ns(hg2)["gather_ns"] > 0
