@@ -11,6 +11,13 @@ This measures the full hybrid sag with the residual gathers split H ways
 headline graph.  If it wins, the split becomes a layout option.
 
 Usage: python -m gnnadvisor_osdi21_tpu.bench.splitprobe  (on the TPU)
+
+RESULT (2026-08-19, v5e): the hypothesis is FALSE in context — stock
+2.64 ms vs 3.42 ms (2-way) / 2.65 ms (4-way).  XLA does not overlap the
+dependent stage1->stage2 chains against each other the way isolated
+concurrent gathers overlap, and the duplicated stage-1 rows (+28-59%)
+eat the rest.  Kept as the measurement record; the stock two-stage
+residual stands.
 """
 
 from __future__ import annotations
@@ -76,12 +83,27 @@ def main(argv=None) -> int:
             )
 
         def split_sag(a, h):
-            x_hot = jnp.take(a.astype(h.agg_dtype), h.hot_ids, axis=1)
-            out = spmm_pallas.fused_slab_matmul_t(
-                h.diag_bits, h.hot_bits, a.astype(h.agg_dtype), x_hot,
-                h.diag_b, block_cols=h.block_rows,
-                feature_tile=h.feature_tile,
-            ) if (h.diag_b and h.hot_k) else None
+            at = a.astype(h.agg_dtype)
+            if h.diag_b and h.hot_k:
+                x_hot = jnp.take(at, h.hot_ids, axis=1)
+                out = spmm_pallas.fused_slab_matmul_t(
+                    h.diag_bits, h.hot_bits, at, x_hot, h.diag_b,
+                    block_cols=h.block_rows, feature_tile=h.feature_tile,
+                )
+            elif h.diag_b:
+                out = spmm_pallas.slab_matmul_t(
+                    h.diag_bits, at, table_block_cols=h.diag_b,
+                    block_cols=min(h.block_rows, h.diag_b),
+                    feature_tile=h.feature_tile,
+                )
+            elif h.hot_k:
+                x_hot = jnp.take(at, h.hot_ids, axis=1)
+                out = spmm_pallas.slab_matmul_t(
+                    h.hot_bits, x_hot, block_cols=h.block_rows,
+                    feature_tile=h.feature_tile,
+                )
+            else:
+                out = None
             r = split_residual(a, h)
             return r if out is None else out + r
 
