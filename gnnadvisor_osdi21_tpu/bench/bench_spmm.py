@@ -48,8 +48,9 @@ def main(argv=None) -> int:
     for name in roster:
         g = rabbit_reorder_graph(get_dataset(name, dim=dim))
         hg = build_hybrid(g)
-        ht = build_hybrid_tensors(hg)
-        x = jnp.ones((hg.num_rows, dim), dtype=jnp.float32)
+        # the tuned defaults: transposed (v3) layout + bf16 tier dots
+        ht = build_hybrid_tensors(hg, transposed=True, agg_dtype="bfloat16")
+        x = jnp.ones((dim, hg.num_rows), dtype=jnp.float32)
         t_h = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=iters) * 1e3
 
         gt_coo = build_graph_tensors(g, method="coo")
