@@ -531,25 +531,28 @@ def build_residual_stream(
     res_gather, udst_c = np.unique(udst, return_inverse=True)
     res_gather = res_gather.astype(np.int32)
     off = rs - blk * res_ob
-    umask = np.zeros((u, words), dtype=np.uint32)
-    # bit-major layout (output row o -> word o % words, bit o // words),
-    # matching the slab kernels so the Pallas residual combine reuses the
-    # same repeat+shift unpack (spmm_pallas._unpack_tile)
-    np.bitwise_or.at(
-        umask, (inv, off % words), np.uint32(1) << (off // words).astype(np.uint32)
-    )
     counts_b = np.bincount(ublk, minlength=n_blocks)
     padded_b = _round_up_arr(counts_b, res_tile)
     starts = np.concatenate(([0], np.cumsum(padded_b)))
     m_pad = int(starts[-1])
     res_dst = np.zeros(m_pad, dtype=np.int32)
-    res_mask = np.zeros((m_pad, words), dtype=np.uint32)  # pad: all-zero
     # position of each unique slot: block start + within-block index
     # (ukey is sorted, so slots arrive grouped by block)
     within = np.arange(u) - np.concatenate(([0], np.cumsum(counts_b)))[ublk]
     pos = starts[ublk] + within
     res_dst[pos] = udst_c.astype(np.int32)
-    res_mask[pos] = umask
+    pu = pos[inv]  # per-edge global slot position
+    # bit-major layout (output row o -> word o % words, bit o // words),
+    # matching the slab kernels so the Pallas residual combine reuses the
+    # same repeat+shift unpack (spmm_pallas._unpack_tile).  Built directly
+    # in the transposed [words, M_pad] orientation with one per-edge OR —
+    # building row-major then transposing costs ~17 s at 12M edges (the
+    # strided 1.5 GB transpose is cache-hostile, measured 2026-08-19).
+    res_mask_t = np.zeros((words, m_pad), dtype=np.uint32)
+    np.bitwise_or.at(
+        res_mask_t, (off % words, pu),
+        np.uint32(1) << (off // words).astype(np.uint32),
+    )
     res_t2b = np.repeat(np.arange(n_blocks, dtype=np.int32), padded_b // res_tile)
     # slot-major orientation: per edge, slot pos -> (tile, slot-in-tile);
     # lane = tile*res_ob + out-row offset; bit-major within the slot axis.
@@ -559,7 +562,6 @@ def build_residual_stream(
     if sw > 0:
         n_tiles = m_pad // res_tile
         mask_s = np.zeros((sw, n_tiles * res_ob), dtype=np.uint32)
-        pu = pos[inv]  # per-edge global slot position
         si = pu % res_tile
         lane = (pu // res_tile) * res_ob + off
         np.bitwise_or.at(
@@ -567,4 +569,4 @@ def build_residual_stream(
         )
     else:
         mask_s = np.zeros((0, 0), dtype=np.uint32)
-    return res_gather, res_dst, np.ascontiguousarray(res_mask.T), mask_s, res_t2b, u
+    return res_gather, res_dst, res_mask_t, mask_s, res_t2b, u
