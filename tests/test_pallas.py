@@ -245,3 +245,35 @@ def test_residual_combine_t_matches_reference():
         got[:, vis_rows], want[vis_rows].T, rtol=1e-5, atol=1e-5
     )
     assert not visited[2]
+
+
+def test_residual_combine_t_feature_grid():
+    """d > feature_tile forces a 2-D grid (feature slices x tiles); the
+    per-block accumulate/flush logic must hold within every feature
+    slice independently."""
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import build_residual_stream
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import residual_combine_t
+
+    rng = np.random.default_rng(11)
+    res_ob, res_tile, num_rows, d = 32, 32, 128, 300
+    col_space = 64
+    rs = rng.integers(0, num_rows, 500).astype(np.int64)
+    rd = rng.integers(0, col_space, 500).astype(np.int64)
+    rs, rd = np.unique(np.stack([rs, rd]), axis=1)
+    res_gather, res_dst, _rm, res_mask_s, res_t2b, _ = build_residual_stream(
+        rs, rd, col_space, num_rows, res_tile, res_ob
+    )
+    table = rng.standard_normal((col_space, d)).astype(np.float32)
+    rows_t = table[res_gather][res_dst].T.copy()
+
+    got = np.asarray(residual_combine_t(
+        rows_t, res_mask_s, res_t2b, num_rows, res_ob,
+        feature_tile=128, interpret=True,
+    ))
+    want = np.zeros((num_rows, d), np.float32)
+    for s, dst in zip(rs, rd):
+        want[s] += table[dst]
+    visited = np.zeros(num_rows // res_ob, bool)
+    visited[res_t2b] = True
+    vis = np.repeat(visited, res_ob)
+    np.testing.assert_allclose(got[:, vis], want[vis].T, rtol=1e-4, atol=1e-4)
