@@ -41,6 +41,7 @@ from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     HybridTensors,
     _diag_aggregate,
     _hot_aggregate,
+    _on_tpu,
     _residual_aggregate,
 )
 from gnnadvisor_osdi21_tpu.parallel.dist_ops import _halo_exchange
@@ -60,7 +61,7 @@ def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
         res_gather=g["res_gather"],
         res_dst=g["res_dst"],
         res_mask=g["res_mask"],
-        res_mask_s=None,  # distributed kernels use the row-major orientation
+        res_mask_s=g["res_mask_s"],
         res_t2b=g["res_t2b"],
         num_rows=sg.block,
         real_nodes=sg.block,
@@ -114,6 +115,17 @@ def _dist_tiers(
     if norm:
         x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)
     table = _halo_exchange(x_local, g["send_idx"])
+    if _on_tpu():
+        out = _dist_tiers_kernels_t(x_local, table, ht, sg, overlap)
+    else:
+        out = _dist_tiers_rowmajor(x_local, table, ht, sg, overlap)
+    if norm:
+        out = out * ht.degrees[:, None].astype(out.dtype)
+    return out.astype(x_local.dtype)
+
+
+def _dist_tiers_rowmajor(x_local, table, ht, sg, overlap):
+    """Reference tier composition (CPU mesh validation path)."""
     out = None
     if sg.diag_b:
         # diagonal columns are block-local: reading them from x_local keeps
@@ -128,9 +140,56 @@ def _dist_tiers(
         out = r if out is None else out + r
     if out is None:
         out = jnp.zeros_like(x_local)
-    if norm:
-        out = out * ht.degrees[:, None].astype(out.dtype)
-    return out.astype(x_local.dtype)
+    return out
+
+
+def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
+    """Per-shard tier composition on the v3 transposed kernels.
+
+    The shard_map boundary (halo all_to_all, loss) stays row-major — the
+    exchange layout is a communication concern, not a kernel one — and the
+    shard transposes its [rows, D] operands once per tier group, so the
+    slab/residual passes run at the single-chip kernels' exact-byte rates
+    (ops/spmm_pallas.py *_t).  NOTE: like the previous row-major Pallas
+    branch, this only executes on real multi-chip TPU hardware; the CPU
+    mesh (tests, dryrun) validates the surrounding program via the
+    row-major reference path above.
+    """
+    from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+    dt = ht.agg_dtype
+    table_t = table.astype(dt).T  # [D, table_rows]
+    out = None
+    if sg.diag_b:
+        diag_src = x_local if overlap else table[: sg.block]
+        out = spmm_pallas.slab_matmul_t(
+            ht.diag_bits, diag_src.astype(dt).T, table_block_cols=ht.diag_b,
+            block_cols=min(ht.block_rows, ht.diag_b),
+            feature_tile=ht.feature_tile,
+        )
+    if sg.hot_k:
+        h = spmm_pallas.slab_matmul_t(
+            ht.hot_bits, jnp.take(table_t, ht.hot_ids, axis=1),
+            block_cols=ht.block_rows, feature_tile=ht.feature_tile,
+        )
+        out = h if out is None else out + h
+    if ht.res_dst is not None:
+        compact = jnp.take(table_t, ht.res_gather, axis=1)
+        rows_t = jnp.take(compact, ht.res_dst, axis=1)
+        r = spmm_pallas.residual_combine_t(
+            rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
+            feature_tile=ht.feature_tile,
+        )
+        if not ht.res_covers_all:
+            n_blocks = ht.num_rows // ht.res_ob
+            visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
+                True, indices_are_sorted=True
+            )
+            r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+        out = r if out is None else out + r
+    if out is None:
+        return jnp.zeros_like(x_local)
+    return out.T  # back to the shard's row-major [block, D]
 
 
 def _model_apply(model, params, x, agg, epsilon: float = 0.5):
@@ -160,6 +219,7 @@ def _graph_specs(sg: HybridShardedGraph):
         "res_gather": P(GRAPH_AXIS, None),
         "res_dst": P(GRAPH_AXIS, None),
         "res_mask": P(GRAPH_AXIS, None, None),
+        "res_mask_s": P(GRAPH_AXIS, None, None),
         "res_t2b": P(GRAPH_AXIS, None),
         "send_idx": P(GRAPH_AXIS, None, None),
     }
@@ -193,6 +253,10 @@ def make_dist_loss_fn(
         mesh=mesh,
         in_specs=(P(), specs, P(GRAPH_AXIS, None), P(GRAPH_AXIS)),
         out_specs=P(),
+        # pallas_call inside shard_map has no varying-mesh-axes metadata on
+        # its outputs (jax 0.9 check_vma contract), so the automatic VMA
+        # check must be off for the tier kernels to trace
+        check_vma=False,
     )
     def loss_fn(params, g, x_blk, y_blk):
         g = {k: v[0] for k, v in g.items()}

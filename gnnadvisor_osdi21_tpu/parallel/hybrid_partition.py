@@ -56,6 +56,7 @@ class HybridShardedGraph:
     res_gather: np.ndarray  # [ndev, Ug] int32 — TABLE row ids (stage 1)
     res_dst: np.ndarray  # [ndev, M] int32 into res_gather (stage 2)
     res_mask: np.ndarray  # [ndev, res_ob/32, M] uint32 multi-hot
+    res_mask_s: np.ndarray  # [ndev, res_tile/32, T*res_ob] slot-major twin
     res_t2b: np.ndarray  # [ndev, T] int32 tile -> out-block (sorted)
     send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 rows to ship
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees
@@ -181,13 +182,12 @@ def shard_graph_hybrid(
             hot_bits = np.zeros((0, block), dtype=np.uint32)
             is_hot = np.zeros(len(od_cols), dtype=bool)
 
-        # the distributed kernels use the out-row-major mask orientation;
-        # the slot-major twin (for the transposed single-chip kernel) is
-        # discarded here
-        rg, rd_, rm, _rms, rt, _pairs = build_residual_stream(
+        # both mask orientations travel: out-row-major for the CPU-mesh
+        # reference path, slot-major for the transposed TPU kernels
+        rg, rd_, rm, rms, rt, _pairs = build_residual_stream(
             od_rows[~is_hot], od_cols[~is_hot], table, block, res_tile, res_ob
         )
-        per.append((diag_bits, hot_ids, hot_bits, rg, rd_, rm, rt))
+        per.append((diag_bits, hot_ids, hot_bits, rg, rd_, rm, rms, rt))
         ug_max = max(ug_max, len(rg))
         m_max = max(m_max, len(rd_))
         t_max = max(t_max, len(rt))
@@ -205,14 +205,18 @@ def shard_graph_hybrid(
     res_gather = np.zeros((num_devices, ug_max), dtype=np.int32)
     res_dst = np.zeros((num_devices, m_max), dtype=np.int32)
     res_mask = np.zeros((num_devices, words, m_max), dtype=np.uint32)
+    sw = res_tile // 32
+    res_mask_s = np.zeros((num_devices, sw, t_max * res_ob), dtype=np.uint32)
     res_t2b = np.full((num_devices, t_max), n_blocks - 1, dtype=np.int32)
-    for d, (db, hi, hb, rg, rd_, rm, rt) in enumerate(per):
+    for d, (db, hi, hb, rg, rd_, rm, rms, rt) in enumerate(per):
         diag_bits[d, :, :] = db
         hot_ids[d, : len(hi)] = hi
         hot_bits[d, :, :] = hb
         res_gather[d, : len(rg)] = rg
         res_dst[d, : len(rd_)] = rd_
         res_mask[d, :, : rm.shape[1]] = rm
+        if rms.size:
+            res_mask_s[d, :, : rms.shape[1]] = rms
         # padded tail tiles (initialized to n_blocks-1 ≥ any real t2b) keep
         # the per-device tile->block map sorted; their masks are all-zero
         res_t2b[d, : len(rt)] = rt
@@ -237,6 +241,7 @@ def shard_graph_hybrid(
         res_gather=res_gather,
         res_dst=res_dst,
         res_mask=res_mask,
+        res_mask_s=res_mask_s,
         res_t2b=res_t2b,
         send_idx=send_idx,
         degrees=deg_pad.reshape(num_devices, block),

@@ -194,3 +194,37 @@ def test_auto_tiers_sharded_build(setup):
     g, _, mesh = setup
     sg = shard_graph_hybrid(g, num_devices=8)
     assert _edge_coverage(sg) == g.nnz
+
+
+def test_dist_transposed_kernel_branch_traces(monkeypatch):
+    """The TPU-only transposed tier branch can't lower on the CPU mesh, but
+    it must TRACE with the sharded shapes (jax.eval_shape runs all the
+    pallas_call shape logic and asserts without compiling) — catches
+    shape/layout bugs that would otherwise only surface on a real pod."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gnnadvisor_osdi21_tpu.ops.hybrid_agg as ha
+    import gnnadvisor_osdi21_tpu.parallel.dist_hybrid as dh
+    from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+    from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import (
+        shard_graph_hybrid,
+    )
+
+    monkeypatch.setattr(ha, "_on_tpu", lambda: True)
+    monkeypatch.setattr(dh, "_on_tpu", lambda: True)
+    from gnnadvisor_osdi21_tpu.models import init_gcn
+    from gnnadvisor_osdi21_tpu.parallel.mesh import make_mesh
+
+    g = synthesize_graph(2048, 16000, num_features=16, kind="community",
+                         seed=13)
+    sg = shard_graph_hybrid(g, num_devices=4, diag_b=512, hot_k=512)
+    mesh = make_mesh(4)
+    loss_fn = dh.make_dist_loss_fn(mesh, sg, "gcn")
+    garr = dh.device_graph_arrays(sg, mesh)
+    params = init_gcn(jax.random.PRNGKey(0), 16, 8, 4)
+    x = jnp.zeros((sg.num_devices * sg.block, 16), jnp.float32)
+    y = jnp.zeros(sg.num_devices * sg.block, jnp.int32)
+    out = jax.eval_shape(loss_fn, params, garr, x, y)
+    assert out.shape == ()
