@@ -16,23 +16,31 @@ from gnnadvisor_osdi21_tpu.bench.datasets import DATASETS
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     log_dir = argv[0] if argv else "logs"
-    # agg_dtype: the campaign runs the CLI default (bfloat16 tier
-    # contractions, f32 accumulation — cli.py --agg_dtype); recorded per
-    # row so the measurement conditions are explicit (VERDICT r2 item 7)
+    # agg_dtype is scraped from each run's Namespace echo in the assembled
+    # protocol log (same order as the Time lines) so the column records the
+    # dtype the run actually used, not an assumption (VERDICT r2 item 7)
+    import re
+
     print("| model | dataset | type | nodes | edges | agg_dtype | ms/epoch |")
     print("|---|---|---|---:|---:|---|---:|")
     for model, hidden in (("gcn", "h16"), ("gin", "h64")):
         path = os.path.join(log_dir, f"{model}.csv")
         if not os.path.exists(path):
             continue
+        dtypes = []
+        log_path = os.path.join(log_dir, f"{model}.log")
+        if os.path.exists(log_path):
+            with open(log_path) as fp:
+                dtypes = re.findall(r"agg_dtype='(\w+)'", fp.read())
         with open(path) as fp:
-            for row in csv.DictReader(fp):
+            for i, row in enumerate(csv.DictReader(fp)):
                 name = row["dataset"]
                 n, e, _, _, typ, _ = DATASETS[name]
                 ms = float(row["Avg.Epoch (ms)"])
+                dt = dtypes[i] if i < len(dtypes) else "?"
                 print(
                     f"| {model.upper()} ({hidden}) | {name} | {typ} "
-                    f"| {n:,} | {e:,} | bfloat16 | {ms:.3f} |"
+                    f"| {n:,} | {e:,} | {dt} | {ms:.3f} |"
                 )
     return 0
 

@@ -67,14 +67,13 @@ def main(argv=None) -> int:
             parts.append((
                 jnp.asarray(uniq_h.astype(np.int32)),
                 jnp.asarray(dst_c.astype(np.int32)),
-                jnp.asarray(t2b[lo_t:hi_t]),
             ))
         total_stage1 = sum(len(p[0]) for p in parts)
 
         def split_residual(a, h):
             a = a.astype(h.agg_dtype)
             rows = []
-            for uniq_h, dst_c, _t in parts:
+            for uniq_h, dst_c in parts:
                 compact = jnp.take(a, uniq_h, axis=1)
                 rows.append(jnp.take(compact, dst_c, axis=1))
             rows_t = jnp.concatenate(rows, axis=1)

@@ -179,6 +179,12 @@ def main(argv=None) -> int:
                 diag_b=None if args.diagB < 0 else args.diagB,
                 hot_k=None if args.hotK < 0 else args.hotK,
             )
+            # the hybrid dist kernels honor the tier compute dtype
+            from functools import partial as _partial
+
+            make_dist_train_step = _partial(
+                make_dist_train_step, agg_dtype=args.agg_dtype
+            )
         else:
             from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
                 make_dist_train_step,

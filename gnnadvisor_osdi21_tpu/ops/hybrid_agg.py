@@ -310,24 +310,34 @@ def _tiers_transposed(x_t: jax.Array, ht: HybridTensors) -> jax.Array:
             )
             out = h if out is None else out + h
     if ht.res_dst is not None:
-        compact = jnp.take(x_t, ht.res_gather, axis=1)  # [D, Ud]
-        rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
-        r = spmm_pallas.residual_combine_t(
-            rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
-            feature_tile=ht.feature_tile,
-        )
-        if not ht.res_covers_all:
-            # blocks with no residual tiles were never visited by the
-            # kernel grid; select their rows to exact zeros
-            n_blocks = ht.num_rows // ht.res_ob
-            visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
-                True, indices_are_sorted=True
-            )
-            r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+        r = residual_tier_t(x_t, ht)
         out = r if out is None else out + r
     if out is None:
         out = jnp.zeros(x_t.shape, jnp.float32)
     return out
+
+
+def residual_tier_t(src_t: jax.Array, ht: HybridTensors) -> jax.Array:
+    """Transposed residual tier over an arbitrary gather source
+    ``src_t [D, table]`` (the node features single-chip; the halo table on
+    the distributed path — parallel/dist_hybrid.py shares this helper)."""
+    from gnnadvisor_osdi21_tpu.ops import spmm_pallas
+
+    compact = jnp.take(src_t, ht.res_gather, axis=1)  # [D, Ud]
+    rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
+    r = spmm_pallas.residual_combine_t(
+        rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
+        feature_tile=ht.feature_tile,
+    )
+    if not ht.res_covers_all:
+        # blocks with no residual tiles were never visited by the kernel
+        # grid; select their rows to exact zeros
+        n_blocks = ht.num_rows // ht.res_ob
+        visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
+            True, indices_are_sorted=True
+        )
+        r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+    return r
 
 
 def hybrid_aggregate(x: jax.Array, ht: HybridTensors, norm: bool) -> jax.Array:

@@ -43,6 +43,7 @@ from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     _hot_aggregate,
     _on_tpu,
     _residual_aggregate,
+    residual_tier_t,
 )
 from gnnadvisor_osdi21_tpu.parallel.dist_ops import _halo_exchange
 from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import HybridShardedGraph
@@ -50,8 +51,12 @@ from gnnadvisor_osdi21_tpu.parallel.mesh import GRAPH_AXIS
 from gnnadvisor_osdi21_tpu.train import build_model
 
 
-def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
-    """Assemble the local shard's HybridTensors view (row space = block)."""
+def _local_tensors(
+    sg: HybridShardedGraph, g: dict, agg_dtype: str = "bfloat16"
+) -> HybridTensors:
+    """Assemble the local shard's HybridTensors view (row space = block).
+    Only the mask orientation the backend's kernels read travels in ``g``
+    (slot-major on TPU, out-row-major on the CPU mesh — _graph_specs)."""
     return HybridTensors(
         degrees=g["degrees"],
         row_mask=g["node_mask"],
@@ -60,8 +65,8 @@ def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
         hot_ids=g["hot_ids"] if sg.hot_k else None,
         res_gather=g["res_gather"],
         res_dst=g["res_dst"],
-        res_mask=g["res_mask"],
-        res_mask_s=g["res_mask_s"],
+        res_mask=g.get("res_mask"),
+        res_mask_s=g.get("res_mask_s"),
         res_t2b=g["res_t2b"],
         num_rows=sg.block,
         real_nodes=sg.block,
@@ -69,12 +74,13 @@ def _local_tensors(sg: HybridShardedGraph, g: dict) -> HybridTensors:
         hot_k=sg.hot_k,
         res_tile=sg.res_tile,
         res_ob=sg.res_ob,
+        agg_dtype=agg_dtype,
     )
 
 
 def dist_hybrid_aggregate(
     x_local: jax.Array, sg: HybridShardedGraph, g: dict, norm: bool,
-    overlap: bool = True,
+    overlap: bool = True, agg_dtype: str = "bfloat16",
 ) -> jax.Array:
     """out[s] = Σ_d w_sd · x[d] over the three tiers; runs inside shard_map.
 
@@ -88,20 +94,20 @@ def dist_hybrid_aggregate(
     table (adding a false dependency on the all_to_all) — the ablation arm
     that demonstrates the overlap is real (tools/overlap_ablation.py).
     """
-    return _dist_agg(x_local, g, sg, norm, overlap)
+    return _dist_agg(x_local, g, sg, norm, overlap, agg_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _dist_agg(x_local, g, sg, norm, overlap):
-    return _dist_tiers(x_local, g, sg, norm, overlap)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dist_agg(x_local, g, sg, norm, overlap, agg_dtype):
+    return _dist_tiers(x_local, g, sg, norm, overlap, agg_dtype)
 
 
-def _dist_agg_fwd(x_local, g, sg, norm, overlap):
-    return _dist_tiers(x_local, g, sg, norm, overlap), g
+def _dist_agg_fwd(x_local, g, sg, norm, overlap, agg_dtype):
+    return _dist_tiers(x_local, g, sg, norm, overlap, agg_dtype), g
 
 
-def _dist_agg_bwd(sg, norm, overlap, g, ct):
-    return _dist_tiers(ct, g, sg, norm, overlap), _zero_cotangent(g)
+def _dist_agg_bwd(sg, norm, overlap, agg_dtype, g, ct):
+    return _dist_tiers(ct, g, sg, norm, overlap, agg_dtype), _zero_cotangent(g)
 
 
 _dist_agg.defvjp(_dist_agg_fwd, _dist_agg_bwd)
@@ -109,9 +115,9 @@ _dist_agg.defvjp(_dist_agg_fwd, _dist_agg_bwd)
 
 def _dist_tiers(
     x_local: jax.Array, g: dict, sg: HybridShardedGraph, norm: bool,
-    overlap: bool,
+    overlap: bool, agg_dtype: str = "bfloat16",
 ) -> jax.Array:
-    ht = _local_tensors(sg, g)
+    ht = _local_tensors(sg, g, agg_dtype)
     if norm:
         x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)
     table = _halo_exchange(x_local, g["send_idx"])
@@ -174,18 +180,7 @@ def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
         )
         out = h if out is None else out + h
     if ht.res_dst is not None:
-        compact = jnp.take(table_t, ht.res_gather, axis=1)
-        rows_t = jnp.take(compact, ht.res_dst, axis=1)
-        r = spmm_pallas.residual_combine_t(
-            rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
-            feature_tile=ht.feature_tile,
-        )
-        if not ht.res_covers_all:
-            n_blocks = ht.num_rows // ht.res_ob
-            visited = jnp.zeros(n_blocks, bool).at[ht.res_t2b].set(
-                True, indices_are_sorted=True
-            )
-            r = jnp.where(jnp.repeat(visited, ht.res_ob)[None, :], r, 0.0)
+        r = residual_tier_t(table_t, ht)  # shared with _tiers_transposed
         out = r if out is None else out + r
     if out is None:
         return jnp.zeros_like(x_local)
@@ -218,11 +213,16 @@ def _graph_specs(sg: HybridShardedGraph):
         "node_mask": P(GRAPH_AXIS, None),
         "res_gather": P(GRAPH_AXIS, None),
         "res_dst": P(GRAPH_AXIS, None),
-        "res_mask": P(GRAPH_AXIS, None, None),
-        "res_mask_s": P(GRAPH_AXIS, None, None),
         "res_t2b": P(GRAPH_AXIS, None),
         "send_idx": P(GRAPH_AXIS, None, None),
     }
+    # ship only the mask orientation the backend's kernels read — the two
+    # twins are equal-sized, and holding both wastes ~words*M_pad*4 bytes
+    # of HBM per device at scale
+    if _on_tpu():
+        specs["res_mask_s"] = P(GRAPH_AXIS, None, None)
+    else:
+        specs["res_mask"] = P(GRAPH_AXIS, None, None)
     if sg.diag_b:
         specs["diag_bits"] = P(GRAPH_AXIS, None, None)
     if sg.hot_k:
@@ -242,7 +242,8 @@ def device_graph_arrays(sg: HybridShardedGraph, mesh: Mesh) -> dict:
 
 
 def make_dist_loss_fn(
-    mesh: Mesh, sg: HybridShardedGraph, model: str, overlap: bool = True
+    mesh: Mesh, sg: HybridShardedGraph, model: str, overlap: bool = True,
+    agg_dtype: str = "bfloat16",
 ) -> Callable:
     """loss(params, g_arrays, x, y): full hybrid forward inside shard_map."""
     total_nodes = float(sg.num_nodes)
@@ -260,7 +261,9 @@ def make_dist_loss_fn(
     )
     def loss_fn(params, g, x_blk, y_blk):
         g = {k: v[0] for k, v in g.items()}
-        agg = lambda h, norm: dist_hybrid_aggregate(h, sg, g, norm, overlap)
+        agg = lambda h, norm: dist_hybrid_aggregate(
+            h, sg, g, norm, overlap, agg_dtype
+        )
         log_probs = _model_apply(model, params, x_blk, agg)
         nll = -jnp.take_along_axis(
             log_probs, y_blk[:, None].astype(jnp.int32), axis=1
@@ -273,10 +276,12 @@ def make_dist_loss_fn(
 
 def make_dist_train_step(
     mesh: Mesh, sg: HybridShardedGraph, model: str, lr: float = 0.01,
-    overlap: bool = True,
+    overlap: bool = True, agg_dtype: str = "bfloat16",
 ):
     """Jitted multi-chip hybrid train step + init helper (dist_ops twin)."""
-    loss_fn = make_dist_loss_fn(mesh, sg, model, overlap=overlap)
+    loss_fn = make_dist_loss_fn(
+        mesh, sg, model, overlap=overlap, agg_dtype=agg_dtype
+    )
     optimizer = optax.adam(lr)
 
     @partial(jax.jit, donate_argnums=(0, 1))
