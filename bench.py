@@ -3,8 +3,9 @@ full tuned pipeline on an amazon0505-scale graph at feature dim 16.
 
 Pipeline: rabbit community reordering (native C++) → input-adaptive hybrid
 layout (diagonal + hot bit-slabs + residual one-hot combine, cost-model
-chosen tiers) → 50 chained kernel executions on device (serial data
-dependency — reliable over the tunneled TPU, see utils/timing.py).
+chosen tiers) → 200 chained kernel executions on device (serial data
+dependency; marginal per-round cost via a two-point fit that removes this
+dev platform's ~25 ms fixed dispatch tunnel cost — see utils/timing.py).
 
 Protocol mirrors the reference's SpMM bench (unitest.py:65-80,
 3_single_spmm_bench.py, 0_bench_Gunrock.py): all-ones features, dim=16,
@@ -84,20 +85,23 @@ def main():
     from gnnadvisor_osdi21_tpu.graphs.reorder import rabbit_reorder_graph
     from gnnadvisor_osdi21_tpu.ops.aggregate import sag
     from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
-    from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
+    from gnnadvisor_osdi21_tpu.utils.timing import chained_marginal_time
 
     dim = 16
     graph = rabbit_reorder_graph(bench_graph(dim))
     hg = build_hybrid(graph)
-    # the tuned default: bf16 tier contractions, f32 accumulation — exact
-    # on this all-ones protocol (0/1 adjacency x 1.0 features)
     # v3 tuned defaults: transposed feature layout ([dim, rows] — exact-byte
     # streams, no 128-lane padding) + bf16 tier contractions with f32
     # accumulation — exact on this all-ones protocol (0/1 adjacency x 1.0)
     ht = build_hybrid_tensors(hg, agg_dtype="bfloat16", transposed=True)
 
+    # Marginal per-SpMM cost over a 200-round chained loop (the reference's
+    # own round count, unitest.py:65-80) with the tunnel's ~25 ms fixed
+    # dispatch removed by a two-point fit — see chained_marginal_time.
     x = jnp.ones((dim, hg.num_rows), dtype=jnp.float32)
-    sec = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=50, reps=3)
+    sec, fixed_s = chained_marginal_time(
+        lambda a, h: sag(a, h), x, ht, iters=200, reps=3
+    )
     ms = sec * 1e3
 
     from gnnadvisor_osdi21_tpu.utils.profiling import spmm_roofline
@@ -115,7 +119,7 @@ def main():
 
     ceil_ids = jnp.asarray(np.asarray(graph.column_index, dtype=np.int32))
     x_small = jnp.ones((dim, hg.num_rows), jnp.bfloat16)
-    ceil_sec = chained_device_time(
+    ceil_sec, _ = chained_marginal_time(
         lambda a, i: jnp.take(a, i, axis=1) + jnp.bfloat16(0),
         x_small, ceil_ids, iters=5, reps=2,
     )
@@ -130,6 +134,11 @@ def main():
                 "vs_baseline": round(gunrock_amazon0505_ms / ms, 4),
                 "edges_per_s": round(graph.nnz / sec / 1e9, 3),
                 "edges_per_s_unit": "Gedge/s",
+                # fixed per-dispatch cost of this tunneled dev platform,
+                # removed from `value` by the two-point fit (it is not chip
+                # time; single-point measurement at N rounds adds fixed/N
+                # per round — rounds r1-r3 carried ~0.5 ms of it)
+                "dispatch_fixed_ms": round(fixed_s * 1e3, 2),
                 "hbm_floor_fraction": round(rl.hbm_fraction, 4),
                 # measured E-row-gather floor for a per-edge formulation:
                 # what the naive/GPU kernel shape costs on THIS chip

@@ -40,10 +40,12 @@ def main(argv=None) -> int:
     from gnnadvisor_osdi21_tpu.ops.aggregate import sag
     from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
     from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
-    from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
+    from gnnadvisor_osdi21_tpu.utils.timing import chained_marginal_time
 
     roster = TYPE_III[:1] if quick else TYPE_III
-    iters = 20 if quick else 50
+    # reference protocol: 200 rounds (unitest.py:65-80); marginal cost per
+    # round via the two-point fit (removes the tunnel's ~25 ms dispatch)
+    iters = 20 if quick else 200
     print("dataset,hybrid_ms,naive_coo_ms,speedup,gunrock_rtx3090_ms")
     for name in roster:
         g = rabbit_reorder_graph(get_dataset(name, dim=dim))
@@ -51,11 +53,16 @@ def main(argv=None) -> int:
         # the tuned defaults: transposed (v3) layout + bf16 tier dots
         ht = build_hybrid_tensors(hg, transposed=True, agg_dtype="bfloat16")
         x = jnp.ones((dim, hg.num_rows), dtype=jnp.float32)
-        t_h = chained_device_time(lambda a, h: sag(a, h), x, ht, iters=iters) * 1e3
+        t_h = chained_marginal_time(
+            lambda a, h: sag(a, h), x, ht, iters=iters
+        )[0] * 1e3
 
         gt_coo = build_graph_tensors(g, method="coo")
         xn = jnp.ones((g.num_nodes, dim), dtype=jnp.float32)
-        t_n = chained_device_time(lambda a, h: sag(a, h), xn, gt_coo, iters=iters) * 1e3
+        # the naive-COO arm is 100-300 ms/round: fewer rounds, same fit
+        t_n = chained_marginal_time(
+            lambda a, h: sag(a, h), xn, gt_coo, iters=max(iters // 40, 5)
+        )[0] * 1e3
 
         gr = GUNROCK_MS.get(name, float("nan"))
         print(f"{name},{t_h:.3f},{t_n:.3f},{t_n / t_h:.2f},{gr}", flush=True)

@@ -27,6 +27,7 @@ import numpy as np
 
 from gnnadvisor_osdi21_tpu.graphs.hybrid import (
     build_residual_stream,
+    choose_res_geometry,
     choose_tiers,
 )
 from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
@@ -61,6 +62,22 @@ class HybridShardedGraph:
     send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 rows to ship
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees
     node_mask: np.ndarray  # [ndev, B] f32, 1 on real rows
+    # exact per-pair halo census [sender, receiver] — the ragged exchange
+    # plan (parallel/dist_ops._halo_exchange_ragged) ships exactly these
+    # rows instead of padding every pair to the fleet-wide ``halo``
+    halo_sizes: np.ndarray | None = None  # [ndev, ndev] int32
+
+    @property
+    def dense_exchange_rows(self) -> int:
+        """Rows the padded all_to_all ships per device (ndev · Hmax)."""
+        return self.num_devices * self.halo
+
+    @property
+    def ragged_exchange_rows(self) -> int:
+        """Max rows any device actually ships under the exact-size plan."""
+        if self.halo_sizes is None:
+            return self.dense_exchange_rows
+        return int(self.halo_sizes.sum(axis=1).max())
 
     @property
     def table_rows(self) -> int:
@@ -72,15 +89,20 @@ def shard_graph_hybrid(
     num_devices: int,
     diag_b: int | None = None,
     hot_k: int | None = None,
-    res_tile: int = 256,
-    res_ob: int = 256,
+    res_tile: int | None = None,
+    res_ob: int | None = None,
     pad_halo_to: int = 8,
 ) -> HybridShardedGraph:
     """Partition + per-device hybrid layout build.
 
     ``diag_b``/``hot_k`` default to the whole-graph measured cost model
-    (graphs/hybrid.py:choose_tiers) so single- and multi-chip runs make the
-    same tier decision; both are fleet-global (common static shapes).
+    (graphs/hybrid.py:choose_tiers) and ``res_ob``/``res_tile`` to the
+    residual-census choice (choose_res_geometry) so single- and multi-chip
+    runs make the same layout decisions; all are fleet-global (common
+    static shapes).  The halo census and the column remap are one
+    vectorized sort/unique pass over the remote edges — O(E log E),
+    independent of device count (the round-3 build looped over every
+    (d, e) pair with full-edge masks: O(ndev²·E), a wall at 32-64 devices).
     """
     n = graph.num_nodes
     rp = np.asarray(graph.row_pointers, dtype=np.int64)
@@ -88,6 +110,31 @@ def shard_graph_hybrid(
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
     diag_b, hot_k = choose_tiers(src, ci, n, hot_k=hot_k, diag_b=diag_b)
+    if diag_b:
+        in_diag = (src // diag_b) == (ci // diag_b)
+    else:
+        in_diag = np.zeros(len(src), dtype=bool)
+
+    # --- residual geometry: same economics as the single-chip layout ------
+    # (build_hybrid): the global off-diagonal/off-hot pair census.  Blocks
+    # are a multiple of res_ob, so the global (src//res_ob, dst) census
+    # equals the union of the per-device ones — no circular dependency on
+    # the block size.  Per-device hot sets (table-id space) differ slightly
+    # from the global hot census used here; the geometry choice is robust
+    # to that (it prices aggregate slot counts, not identities).
+    if res_tile is None or res_ob is None:
+        if hot_k:
+            counts = np.bincount(ci[~in_diag], minlength=n)
+            top = np.argsort(counts)[::-1][:hot_k]
+            hot_col = np.full(n, -1, dtype=np.int64)
+            hot_col[top[counts[top] > 0]] = 1
+            in_res_g = (~in_diag) & (hot_col[ci] < 0)
+        else:
+            in_res_g = ~in_diag
+        auto_ob, auto_rt = choose_res_geometry(src[in_res_g], ci[in_res_g], n)
+        res_ob = res_ob or auto_ob
+        res_tile = res_tile or auto_rt
+
     align = max(diag_b, res_ob, 512)
     block = _round_up(_round_up(max(n, num_devices), num_devices) // num_devices, align)
     n_pad = block * num_devices
@@ -95,34 +142,36 @@ def shard_graph_hybrid(
     src_dev = src // block
     dst_dev = ci // block
 
-    # --- halo sets: unique remote ids device d needs from device e -------
-    # (hot + residual columns; diagonal columns are local by construction)
-    if diag_b:
-        in_diag = (src // diag_b) == (ci // diag_b)
-    else:
-        in_diag = np.zeros(len(src), dtype=bool)
+    # --- halo census: unique remote ids device d needs from device e ------
+    # (hot + residual columns; diagonal columns are local by construction).
+    # One sort/unique over (d, e, id) keys replaces the per-pair mask loop.
     remote = (~in_diag) & (src_dev != dst_dev)
-    need: list[list[np.ndarray]] = []
-    h_max = 1
-    for d in range(num_devices):
-        row: list[np.ndarray] = []
-        for e in range(num_devices):
-            if e == d:
-                row.append(np.empty(0, dtype=np.int64))
-                continue
-            sel = remote & (src_dev == d) & (dst_dev == e)
-            ids = np.unique(ci[sel])
-            row.append(ids)
-            h_max = max(h_max, len(ids))
-        need.append(row)
+    rkey = (src_dev[remote] * num_devices + dst_dev[remote]) * np.int64(
+        n_pad + 1
+    ) + ci[remote]
+    ukey = np.unique(rkey)
+    upair = ukey // (n_pad + 1)
+    uid = ukey % (n_pad + 1)
+    pair_counts = np.bincount(upair, minlength=num_devices * num_devices)
+    pair_off = np.concatenate(([0], np.cumsum(pair_counts)))
+    halo_sizes = pair_counts.reshape(num_devices, num_devices).astype(np.int32)
+    h_max = max(int(pair_counts.max(initial=0)), 1)
     h_max = _round_up(h_max, pad_halo_to)
     table = block + num_devices * h_max
 
     send_idx = np.zeros((num_devices, num_devices, h_max), dtype=np.int32)
-    for d in range(num_devices):
-        for e in range(num_devices):
-            ids = need[d][e]
-            send_idx[e, d, : len(ids)] = (ids - e * block).astype(np.int32)
+    for p in np.nonzero(pair_counts)[0]:
+        d, e = divmod(int(p), num_devices)
+        ids = uid[pair_off[p] : pair_off[p + 1]]  # sorted ascending
+        send_idx[e, d, : len(ids)] = (ids - e * block).astype(np.int32)
+
+    # --- column remap: one global searchsorted over remote edges ----------
+    col_t = np.empty(len(src), dtype=np.int64)
+    local = src_dev == dst_dev
+    col_t[local] = ci[local] - src_dev[local] * block
+    pos = np.searchsorted(ukey, rkey)  # position within the sorted census
+    within = pos - pair_off[upair[pos]]
+    col_t[remote] = block + dst_dev[remote] * h_max + within
 
     from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
         pack_slab_bits, transpose_slab,
@@ -136,19 +185,7 @@ def shard_graph_hybrid(
         s_l = src[mine] - d * block  # local output rows
         dst_g = ci[mine]
         dloc = in_diag[mine]
-
-        # remap columns to the device's gather table
-        col_t = np.empty_like(dst_g)
-        local = dst_dev[mine] == d
-        col_t[local] = dst_g[local] - d * block
-        for e in range(num_devices):
-            if e == d:
-                continue
-            sel = (~local) & (dst_dev[mine] == e)
-            if not sel.any():
-                continue
-            pos = np.searchsorted(need[d][e], dst_g[sel])
-            col_t[sel] = block + e * h_max + pos
+        col_d = col_t[mine]
 
         # diagonal tier: block-local columns (transposed storage)
         if diag_b:
@@ -159,7 +196,7 @@ def shard_graph_hybrid(
             diag_bits = np.zeros((0, block), dtype=np.uint32)
 
         # hot tier: top-K table ids among off-diagonal edges
-        od_cols = col_t[~dloc]
+        od_cols = col_d[~dloc]
         od_rows = s_l[~dloc]
         if hot_k:
             counts = np.bincount(od_cols, minlength=table)
@@ -246,4 +283,5 @@ def shard_graph_hybrid(
         send_idx=send_idx,
         degrees=deg_pad.reshape(num_devices, block),
         node_mask=mask.reshape(num_devices, block),
+        halo_sizes=halo_sizes,
     )
