@@ -25,7 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--epochs", type=int, default=20)
     args = p.parse_args(argv)
-    dev_list = [int(d) for d in args.devices.split(",")]
+    # sorted: the per-chip-equivalent baseline (t1_ms) is taken from the
+    # smallest device count's measurement, so it must run first
+    dev_list = sorted(int(d) for d in args.devices.split(","))
 
     import os
 

@@ -27,17 +27,24 @@ def main(argv=None) -> int:
         path = os.path.join(log_dir, f"{model}.csv")
         if not os.path.exists(path):
             continue
-        dtypes = []
+        # key on the dataset name scraped from the SAME Namespace line:
+        # a resumed campaign appends extra echoes, so positional zip
+        # against CSV rows would misalign every subsequent row (last echo
+        # per dataset wins — that is the run the CSV row came from)
+        dtypes = {}
         log_path = os.path.join(log_dir, f"{model}.log")
         if os.path.exists(log_path):
             with open(log_path) as fp:
-                dtypes = re.findall(r"agg_dtype='(\w+)'", fp.read())
+                for ds, dt in re.findall(
+                    r"dataset='([^']+)'.*?agg_dtype='(\w+)'", fp.read()
+                ):
+                    dtypes[ds] = dt
         with open(path) as fp:
-            for i, row in enumerate(csv.DictReader(fp)):
+            for row in csv.DictReader(fp):
                 name = row["dataset"]
                 n, e, _, _, typ, _ = DATASETS[name]
                 ms = float(row["Avg.Epoch (ms)"])
-                dt = dtypes[i] if i < len(dtypes) else "?"
+                dt = dtypes.get(name, "?")
                 print(
                     f"| {model.upper()} ({hidden}) | {name} | {typ} "
                     f"| {n:,} | {e:,} | {dt} | {ms:.3f} |"

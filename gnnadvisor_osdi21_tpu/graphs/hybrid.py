@@ -335,7 +335,8 @@ RES_TILE_STEP_NS = 500.0  # measured combine-kernel grid-step overhead
 
 
 def choose_res_geometry(
-    rs: np.ndarray, rd: np.ndarray, num_nodes: int
+    rs: np.ndarray, rd: np.ndarray, num_nodes: int,
+    row_align: int = 512, row_cost_ns: float = 0.0,
 ) -> tuple[int, int]:
     """Pick (res_ob, res_tile) for the residual tier from its exact pair
     census: cost = slots·(GATHER_SLOT + SLAB_B·OB) + tiles·step_overhead,
@@ -343,20 +344,30 @@ def choose_res_geometry(
     more pairs AND pad fewer tiles, but the combine unpack grows with OB).
     Input-adaptive like the slab tiers: compound collections (Type II,
     few pairs spread over many blocks) want huge sparse blocks, web graphs
-    (dense pair streams) want 1024 (2026-08-19 grids on both)."""
+    (dense pair streams) want 1024 (2026-08-19 grids on both).
+
+    ``row_align``/``row_cost_ns``: the chosen ob also inflates the layout's
+    padded row count (num_rows rounds up to max(diag_b, ob, align) in
+    build_hybrid) — every extra padded row pays the slab pipeline's
+    per-output-column cost, so a big ob must EARN its padding on small
+    graphs (ADVICE r3: choose_tiers and this chooser were priced against
+    inconsistent layouts)."""
     if not len(rs):
         return 1024, 256
+    base_rows = _round_up(max(num_nodes, 1), row_align)
     best = None
     for ob in RES_OB_CANDIDATES:
         key = (rs // ob) * np.int64(num_nodes + 1) + rd
         ukey = np.unique(key)
         counts_b = np.bincount(ukey // (num_nodes + 1))
+        pad_rows = _round_up(max(num_nodes, 1), max(row_align, ob)) - base_rows
         for rt in RES_TILE_CANDIDATES:
             slots = int((-(-counts_b // rt) * rt).sum())
             tiles = slots // rt
             cost = (
                 slots * (GATHER_SLOT_NS + SLAB_B_NS * ob)
                 + tiles * RES_TILE_STEP_NS
+                + pad_rows * row_cost_ns
             )
             if best is None or cost < best[0]:
                 best = (cost, ob, rt)
@@ -381,36 +392,54 @@ def build_hybrid(
     ci = np.asarray(graph.column_index, dtype=np.int64)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
-    diag_b, hot_k = choose_tiers(
-        src, ci, n, hot_k=hot_k, diag_b=diag_b, res_ob=res_ob or 1024
-    )
-    assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
+    # Tier choice and residual geometry feed each other (choose_tiers
+    # prices the pair census at a given res_ob; the chosen ob in turn
+    # changes which tiers pay off), so iterate to a consistent fixed
+    # point — at most two passes, since the second pass re-prices at the
+    # geometry the layout will actually be built with (ADVICE r3).
+    in_diag_b, in_hot_k = diag_b, hot_k  # user-fixed (None = auto)
+    census_ob = res_ob or 1024
+    for _ in range(2):
+        diag_b, hot_k = choose_tiers(
+            src, ci, n, hot_k=in_hot_k, diag_b=in_diag_b, res_ob=census_ob
+        )
+        assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
 
-    # --- classify edges: diag > hot > residual --------------------------
-    if diag_b:
-        in_diag = (src // diag_b) == (ci // diag_b)
-    else:
-        in_diag = np.zeros(len(src), dtype=bool)
+        # --- classify edges: diag > hot > residual ----------------------
+        if diag_b:
+            in_diag = (src // diag_b) == (ci // diag_b)
+        else:
+            in_diag = np.zeros(len(src), dtype=bool)
 
-    if hot_k:
-        assert hot_k % 32 == 0, f"hot_k {hot_k} must be a multiple of 32"
-        counts = np.bincount(ci[~in_diag], minlength=n)
-        top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
-        top = top[counts[top] > 0]  # columns with no edges stay padding
-        hot_col = np.full(n, -1, dtype=np.int64)
-        hot_col[top] = np.arange(len(top))
-        in_hot = (~in_diag) & (hot_col[ci] >= 0)
-    else:
-        top = np.zeros(0, dtype=np.int32)
-        in_hot = np.zeros(len(src), dtype=bool)
+        if hot_k:
+            assert hot_k % 32 == 0, f"hot_k {hot_k} must be a multiple of 32"
+            counts = np.bincount(ci[~in_diag], minlength=n)
+            top = np.argsort(counts)[::-1][:hot_k].astype(np.int32)
+            top = top[counts[top] > 0]  # columns with no edges stay padding
+            hot_col = np.full(n, -1, dtype=np.int64)
+            hot_col[top] = np.arange(len(top))
+            in_hot = (~in_diag) & (hot_col[ci] >= 0)
+        else:
+            top = np.zeros(0, dtype=np.int32)
+            in_hot = np.zeros(len(src), dtype=bool)
 
-    in_res = ~(in_diag | in_hot)
+        in_res = ~(in_diag | in_hot)
 
-    # --- residual geometry (input-adaptive) + final row space ------------
-    if res_ob is None or res_tile is None:
-        auto_ob, auto_rt = choose_res_geometry(src[in_res], ci[in_res], n)
-        res_ob = res_ob or auto_ob
-        res_tile = res_tile or auto_rt
+        # --- residual geometry (input-adaptive) -------------------------
+        if res_ob is None or res_tile is None:
+            auto_ob, auto_rt = choose_res_geometry(
+                src[in_res], ci[in_res], n,
+                row_align=max(diag_b, row_align),
+                row_cost_ns=SLAB_A_NS + SLAB_B_NS * (diag_b + hot_k),
+            )
+            chosen_ob = res_ob or auto_ob
+            chosen_rt = res_tile or auto_rt
+        else:
+            chosen_ob, chosen_rt = res_ob, res_tile
+        if chosen_ob == census_ob:
+            break
+        census_ob = chosen_ob  # re-price the tiers at the real geometry
+    res_ob, res_tile = chosen_ob, chosen_rt
     num_rows = _round_up(max(n, 1), max(diag_b, res_ob, row_align))
 
     if hot_k:

@@ -317,17 +317,20 @@ def _tiers_transposed(x_t: jax.Array, ht: HybridTensors) -> jax.Array:
     return out
 
 
-def residual_tier_t(src_t: jax.Array, ht: HybridTensors) -> jax.Array:
+def residual_tier_t(
+    src_t: jax.Array, ht: HybridTensors, vma: frozenset | None = None
+) -> jax.Array:
     """Transposed residual tier over an arbitrary gather source
     ``src_t [D, table]`` (the node features single-chip; the halo table on
-    the distributed path — parallel/dist_hybrid.py shares this helper)."""
+    the distributed path — parallel/dist_hybrid.py shares this helper,
+    passing ``vma`` so the Pallas combine satisfies check_vma=True)."""
     from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
     compact = jnp.take(src_t, ht.res_gather, axis=1)  # [D, Ud]
     rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
     r = spmm_pallas.residual_combine_t(
         rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
-        feature_tile=ht.feature_tile,
+        feature_tile=ht.feature_tile, vma=vma,
     )
     if not ht.res_covers_all:
         # blocks with no residual tiles were never visited by the kernel

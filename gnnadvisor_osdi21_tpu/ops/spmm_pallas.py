@@ -423,7 +423,9 @@ def _slab_kernel_t(bits_ref, shift_ref, xt_ref, out_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("table_block_cols", "block_cols", "feature_tile", "interpret"),
+    static_argnames=(
+        "table_block_cols", "block_cols", "feature_tile", "interpret", "vma",
+    ),
 )
 def slab_matmul_t(
     bits_t: jax.Array,  # [K/32, R] uint32, transposed bit-major
@@ -432,8 +434,13 @@ def slab_matmul_t(
     block_cols: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> jax.Array:
-    """out[D, R] f32 = x_t @ unpack(bits_t) (global or block-local table)."""
+    """out[D, R] f32 = x_t @ unpack(bits_t) (global or block-local table).
+
+    ``vma``: varying-mesh-axes annotation for the output when called
+    inside a ``shard_map`` with ``check_vma=True`` (pallas_call cannot
+    infer it — jax 0.9 requires it on ``out_shape``)."""
     w32, r = bits_t.shape
     k = w32 * 32
     d, t = x_t.shape
@@ -463,7 +470,7 @@ def slab_matmul_t(
     shift_col = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[:, None]
     out = pl.pallas_call(
         _slab_kernel_t,
-        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32, vma=vma),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -505,7 +512,7 @@ def _fused_kernel_t(db_ref, dshift_ref, hb_ref, hshift_ref, xt_ref, xht_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("diag_b", "block_cols", "feature_tile", "interpret"),
+    static_argnames=("diag_b", "block_cols", "feature_tile", "interpret", "vma"),
 )
 def fused_slab_matmul_t(
     diag_bits_t: jax.Array,  # [B/32, R] uint32, block-local columns
@@ -516,8 +523,10 @@ def fused_slab_matmul_t(
     block_cols: int = 512,
     feature_tile: int = 128,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> jax.Array:
-    """out[D, R] = x_t @ blockdiag(diag) + x_hot_t @ hot, one column pass."""
+    """out[D, R] = x_t @ blockdiag(diag) + x_hot_t @ hot, one column pass.
+    ``vma``: see slab_matmul_t."""
     dw32, r = diag_bits_t.shape
     b = dw32 * 32
     hw32, _ = hot_bits_t.shape
@@ -538,7 +547,7 @@ def fused_slab_matmul_t(
     hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[:, None]
     out = pl.pallas_call(
         _fused_kernel_t,
-        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32, vma=vma),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -594,7 +603,8 @@ def _resid_kernel_t(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_rows", "res_ob", "feature_tile", "interpret")
+    jax.jit,
+    static_argnames=("num_rows", "res_ob", "feature_tile", "interpret", "vma"),
 )
 def residual_combine_t(
     rows_t: jax.Array,  # [D, M_pad] gathered slot rows (pad slots: any value)
@@ -604,8 +614,10 @@ def residual_combine_t(
     res_ob: int,
     feature_tile: int = 128,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> jax.Array:
     """out[D, num_rows] f32: residual-tier combine, transposed + fused.
+    ``vma``: see slab_matmul_t.
 
     The slot-major mask layout stores slot s of a tile in word ``s % S32``
     bit ``s // S32`` with the tile's output rows on the lane axis, so one
@@ -626,7 +638,7 @@ def residual_combine_t(
     shift_col = (jnp.arange(s, dtype=jnp.uint32) // jnp.uint32(words))[:, None]
     out = pl.pallas_call(
         _resid_kernel_t,
-        out_shape=jax.ShapeDtypeStruct((dp, num_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, num_rows), jnp.float32, vma=vma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(dp // td, t),

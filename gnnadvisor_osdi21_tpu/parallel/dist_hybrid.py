@@ -45,7 +45,10 @@ from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     _residual_aggregate,
     residual_tier_t,
 )
-from gnnadvisor_osdi21_tpu.parallel.dist_ops import _halo_exchange
+from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
+    _halo_exchange,
+    model_apply_with_agg,
+)
 from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import HybridShardedGraph
 from gnnadvisor_osdi21_tpu.parallel.mesh import GRAPH_AXIS
 from gnnadvisor_osdi21_tpu.train import build_model
@@ -118,8 +121,14 @@ def _dist_tiers(
     overlap: bool, agg_dtype: str = "bfloat16",
 ) -> jax.Array:
     ht = _local_tensors(sg, g, agg_dtype)
+    out_dtype = x_local.dtype
     if norm:
         x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)
+    # one dtype contract for BOTH branches (single-chip hybrid_aggregate
+    # casts before the tiers; the CPU-mesh validation path must exercise
+    # the same numerics production runs) — and casting *before* the halo
+    # exchange halves the all_to_all bytes at bf16
+    x_local = x_local.astype(ht.agg_dtype)
     table = _halo_exchange(x_local, g["send_idx"])
     if _on_tpu():
         out = _dist_tiers_kernels_t(x_local, table, ht, sg, overlap)
@@ -127,7 +136,7 @@ def _dist_tiers(
         out = _dist_tiers_rowmajor(x_local, table, ht, sg, overlap)
     if norm:
         out = out * ht.degrees[:, None].astype(out.dtype)
-    return out.astype(x_local.dtype)
+    return out.astype(out_dtype)
 
 
 def _dist_tiers_rowmajor(x_local, table, ht, sg, overlap):
@@ -163,48 +172,33 @@ def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
     """
     from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
-    dt = ht.agg_dtype
-    table_t = table.astype(dt).T  # [D, table_rows]
+    # pallas_call cannot infer varying-mesh-axes metadata; annotating the
+    # kernel outputs keeps check_vma=True on the surrounding shard_map
+    # program (ADVICE r3: a blanket check_vma=False also exempted the
+    # collective/loss code from a check that catches real mistakes)
+    vma = frozenset({GRAPH_AXIS})
+    table_t = table.T  # [D, table_rows]; agg_dtype cast by _dist_tiers
     out = None
     if sg.diag_b:
         diag_src = x_local if overlap else table[: sg.block]
         out = spmm_pallas.slab_matmul_t(
-            ht.diag_bits, diag_src.astype(dt).T, table_block_cols=ht.diag_b,
+            ht.diag_bits, diag_src.T, table_block_cols=ht.diag_b,
             block_cols=min(ht.block_rows, ht.diag_b),
-            feature_tile=ht.feature_tile,
+            feature_tile=ht.feature_tile, vma=vma,
         )
     if sg.hot_k:
         h = spmm_pallas.slab_matmul_t(
             ht.hot_bits, jnp.take(table_t, ht.hot_ids, axis=1),
-            block_cols=ht.block_rows, feature_tile=ht.feature_tile,
+            block_cols=ht.block_rows, feature_tile=ht.feature_tile, vma=vma,
         )
         out = h if out is None else out + h
     if ht.res_dst is not None:
-        r = residual_tier_t(table_t, ht)  # shared with _tiers_transposed
+        # shared with _tiers_transposed
+        r = residual_tier_t(table_t, ht, vma=vma)
         out = r if out is None else out + r
     if out is None:
         return jnp.zeros_like(x_local)
     return out.T  # back to the shard's row-major [block, D]
-
-
-def _model_apply(model, params, x, agg, epsilon: float = 0.5):
-    """GCN-2 / GIN-5 forward with a distributed aggregate closure."""
-    if model == "gcn":
-        h = x @ params["conv1"]
-        h = jax.nn.relu(agg(h, True))
-        h = h @ params["conv2"]
-        h = agg(h, True)
-        return jax.nn.log_softmax(h, axis=1)
-    if model == "gin":
-        h = x
-        n_layers = len(params)
-        for i in range(n_layers):
-            h = epsilon * agg(h, False)
-            h = h @ params[f"conv{i + 1}"]
-            if i < n_layers - 1:
-                h = jax.nn.relu(h)
-        return jax.nn.log_softmax(h, axis=1)
-    raise ValueError(f"unknown model: {model}")
 
 
 def _graph_specs(sg: HybridShardedGraph):
@@ -254,17 +248,13 @@ def make_dist_loss_fn(
         mesh=mesh,
         in_specs=(P(), specs, P(GRAPH_AXIS, None), P(GRAPH_AXIS)),
         out_specs=P(),
-        # pallas_call inside shard_map has no varying-mesh-axes metadata on
-        # its outputs (jax 0.9 check_vma contract), so the automatic VMA
-        # check must be off for the tier kernels to trace
-        check_vma=False,
     )
     def loss_fn(params, g, x_blk, y_blk):
         g = {k: v[0] for k, v in g.items()}
         agg = lambda h, norm: dist_hybrid_aggregate(
             h, sg, g, norm, overlap, agg_dtype
         )
-        log_probs = _model_apply(model, params, x_blk, agg)
+        log_probs = model_apply_with_agg(model, params, x_blk, agg)
         nll = -jnp.take_along_axis(
             log_probs, y_blk[:, None].astype(jnp.int32), axis=1
         )[:, 0]

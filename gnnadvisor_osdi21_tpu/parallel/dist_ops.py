@@ -126,19 +126,21 @@ def _dist_ell_bwd(block, norm, g, ct):
 dist_aggregate.defvjp(_dist_ell_fwd, _dist_ell_bwd)
 
 
-def _model_apply(model: str, params, x, g, block: int, epsilon: float = 0.5):
-    """GCN-2 / GIN-5 forward with distributed aggregation per layer."""
+def model_apply_with_agg(model: str, params, x, agg, epsilon: float = 0.5):
+    """GCN-2 / GIN-5 forward over an injected per-layer aggregate closure
+    ``agg(h, norm)`` — the ONE definition shared by the ELL (dist_ops) and
+    hybrid (dist_hybrid) distributed paths, so the two twins cannot drift."""
     if model == "gcn":
         h = x @ params["conv1"]
-        h = jax.nn.relu(dist_aggregate(h, g, block, norm=True))
+        h = jax.nn.relu(agg(h, True))
         h = h @ params["conv2"]
-        h = dist_aggregate(h, g, block, norm=True)
+        h = agg(h, True)
         return jax.nn.log_softmax(h, axis=1)
     if model == "gin":
         h = x
         n_layers = len(params)
         for i in range(n_layers):
-            h = epsilon * dist_aggregate(h, g, block, norm=False)
+            h = epsilon * agg(h, False)
             h = h @ params[f"conv{i + 1}"]
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
@@ -191,7 +193,8 @@ def make_dist_loss_fn(mesh: Mesh, sg: ShardedGraph, model: str) -> Callable:
         # Graph arrays are stacked [ndev, ...]; the local shard has a
         # leading axis of size 1 — drop it.
         g = {k: v[0] for k, v in g.items()}
-        log_probs = _model_apply(model, params, x_blk, g, block)
+        agg = lambda h, norm: dist_aggregate(h, g, block, norm=norm)
+        log_probs = model_apply_with_agg(model, params, x_blk, agg)
         nll = -jnp.take_along_axis(
             log_probs, y_blk[:, None].astype(jnp.int32), axis=1
         )[:, 0]

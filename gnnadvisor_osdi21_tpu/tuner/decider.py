@@ -55,6 +55,14 @@ SUBLANE = 8
 MAX_BLOCK_PARTS = 512  # cap on slab rows per grid step (power of two)
 DENSE_MAX_NODES = 4096  # above this, an N×N adjacency stops being a win
 
+# ELL cost law (per-epoch): weighted-least-squares fit over the round-3
+# partSize study grid (logs/study_partsize.csv — 5 Type III graphs x
+# partSize 2..512, v5e, 2026-08-19).  A slot is one gathered (possibly
+# padded) neighbor row; a part is one neighbor group (per-part overhead of
+# the two-level masked-sum + segment reduction).
+ELL_SLOT_NS = 44.0
+ELL_PART_NS = 125.0
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -153,11 +161,26 @@ class InputProperty:
         return "hybrid"
 
     def _auto_part_size(self) -> int:
-        # partSize = int(avg_degree) (param.py:73), clamped to [2, 64] and
-        # even so the [P, S] rectangle keeps sublane-friendly strides.
-        ps = int(self.graph.avg_degree)
-        ps = max(2, min(ps, 64))
-        return _round_up(ps, 2)
+        # Measured ELL cost law replacing the reference's naive
+        # partSize = int(avg_degree) rule (param.py:73): one epoch costs
+        # ~ELL_SLOT_NS per gathered slot (parts·P rows incl. padding) +
+        # ELL_PART_NS per neighbor group (the two-level reduction's
+        # per-part overhead).  Constants fitted by weighted least squares
+        # over the round-3 partSize study grid (logs/study_partsize.csv,
+        # 5 Type III graphs x 9 sizes); the model lands on the measured
+        # optimum (P=8) or within one grid step (<=4% time) on all five —
+        # the mean-degree rule missed artist's optimum by 35%.
+        import numpy as np
+
+        rp = np.asarray(self.graph.row_pointers, dtype=np.int64)
+        deg = np.diff(rp)
+        best, best_cost = 2, float("inf")
+        for p in (2, 4, 8, 16, 32, 64):
+            parts = int(-(-deg // p).sum()) if len(deg) else 1
+            cost = ELL_SLOT_NS * parts * p + ELL_PART_NS * parts
+            if cost < best_cost:
+                best, best_cost = p, cost
+        return best
 
     def _auto_feature_tile(self, dim: int) -> int:
         # dimWorker analog: lanes covering the feature dim, capped at the

@@ -30,10 +30,33 @@ def test_manual_mode_passes_params_through():
     assert prop.layer_input.part_size == 24
 
 
-def test_auto_part_size_tracks_avg_degree():
+def test_auto_part_size_minimizes_measured_ell_cost():
+    """Auto partSize comes from the measured ELL cost law (slots x
+    ELL_SLOT_NS + parts x ELL_PART_NS over the degree histogram), not the
+    reference's mean-degree rule — the round-3 study showed optimum ~8 on
+    every hub-skewed Type III graph while int(avg_degree) picked 16-32."""
+    import numpy as np
+
+    from gnnadvisor_osdi21_tpu.tuner.decider import ELL_PART_NS, ELL_SLOT_NS
+
     g = synthesize_graph(3000, 90000, seed=2)  # avg degree ~30
     prop = InputProperty(g, hidden_dim=16, method="ell").decider()
-    assert 16 <= prop.layer_input.part_size <= 40
+    picked = prop.layer_input.part_size
+    deg = np.diff(np.asarray(g.row_pointers, dtype=np.int64))
+
+    def cost(p):
+        parts = int(-(-deg // p).sum())
+        return ELL_SLOT_NS * parts * p + ELL_PART_NS * parts
+
+    assert cost(picked) == min(cost(p) for p in (2, 4, 8, 16, 32, 64))
+
+
+def test_auto_part_size_prefers_small_parts_on_hub_skew():
+    """Hub-skewed degree distributions (web-graph-like) land at a small
+    partSize — the measured optimum regime (logs/study_partsize.csv)."""
+    g = synthesize_graph(20000, 300000, kind="web", seed=5)
+    prop = InputProperty(g, hidden_dim=16, method="ell").decider()
+    assert prop.layer_input.part_size <= 8
 
 
 def test_per_layer_feature_tiles_differ():
