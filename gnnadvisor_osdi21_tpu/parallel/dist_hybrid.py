@@ -46,7 +46,7 @@ from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     residual_tier_t,
 )
 from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
-    _halo_exchange,
+    _halo_exchange_t,
     model_apply_with_agg,
 )
 from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import HybridShardedGraph
@@ -87,55 +87,77 @@ def dist_hybrid_aggregate(
 ) -> jax.Array:
     """out[s] = Σ_d w_sd · x[d] over the three tiers; runs inside shard_map.
 
-    Carries a custom VJP (``_dist_agg``): the global operator is symmetric
-    (undirected graphs, gnn_conv.py:23-27), so the adjoint is the same
-    distributed aggregation applied to the cotangent — the halo exchange
-    re-runs and its adjoint never materializes a scatter.  This also keeps
-    reverse-mode AD away from ``pallas_call`` (no transpose rule) on TPU.
+    Row-major ``[block, D]`` boundary wrapper over the transposed core
+    (``dist_hybrid_aggregate_t``) — kept for callers that hold row-major
+    shards; the tuned loss path runs transposed end-to-end instead.
+    """
+    return _dist_agg_t(x_local.T, g, sg, norm, overlap, agg_dtype).T
+
+
+def dist_hybrid_aggregate_t(
+    x_t: jax.Array, sg: HybridShardedGraph, g: dict, norm: bool,
+    overlap: bool = True, agg_dtype: str = "bfloat16",
+) -> jax.Array:
+    """Transposed aggregate: ``out[D, block] = Σ_d w_sd · x_t[:, d]``.
+
+    The v3 layout end-to-end: the shard's features stay ``[D, rows]``
+    through GEMMs, halo exchange and all three tiers — no per-layer
+    transposes in the traced program (round-3 review item; single-chip
+    eliminated these in train.py and the dist path now matches).
+
+    Carries a custom VJP (``_dist_agg_t``): the global operator is
+    symmetric (undirected graphs, gnn_conv.py:23-27), so the adjoint is
+    the same distributed aggregation applied to the cotangent — the halo
+    exchange re-runs and its adjoint never materializes a scatter.  This
+    also keeps reverse-mode AD away from ``pallas_call`` (no transpose
+    rule) on TPU.
 
     ``overlap=False`` forces the diagonal tier to read through the halo
     table (adding a false dependency on the all_to_all) — the ablation arm
     that demonstrates the overlap is real (tools/overlap_ablation.py).
     """
-    return _dist_agg(x_local, g, sg, norm, overlap, agg_dtype)
+    return _dist_agg_t(x_t, g, sg, norm, overlap, agg_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _dist_agg(x_local, g, sg, norm, overlap, agg_dtype):
-    return _dist_tiers(x_local, g, sg, norm, overlap, agg_dtype)
+def _dist_agg_t(x_t, g, sg, norm, overlap, agg_dtype):
+    return _dist_tiers_t(x_t, g, sg, norm, overlap, agg_dtype)
 
 
-def _dist_agg_fwd(x_local, g, sg, norm, overlap, agg_dtype):
-    return _dist_tiers(x_local, g, sg, norm, overlap, agg_dtype), g
+def _dist_agg_t_fwd(x_t, g, sg, norm, overlap, agg_dtype):
+    return _dist_tiers_t(x_t, g, sg, norm, overlap, agg_dtype), g
 
 
-def _dist_agg_bwd(sg, norm, overlap, agg_dtype, g, ct):
-    return _dist_tiers(ct, g, sg, norm, overlap, agg_dtype), _zero_cotangent(g)
+def _dist_agg_t_bwd(sg, norm, overlap, agg_dtype, g, ct):
+    return _dist_tiers_t(ct, g, sg, norm, overlap, agg_dtype), _zero_cotangent(g)
 
 
-_dist_agg.defvjp(_dist_agg_fwd, _dist_agg_bwd)
+_dist_agg_t.defvjp(_dist_agg_t_fwd, _dist_agg_t_bwd)
 
 
-def _dist_tiers(
-    x_local: jax.Array, g: dict, sg: HybridShardedGraph, norm: bool,
+def _dist_tiers_t(
+    x_t: jax.Array, g: dict, sg: HybridShardedGraph, norm: bool,
     overlap: bool, agg_dtype: str = "bfloat16",
 ) -> jax.Array:
     ht = _local_tensors(sg, g, agg_dtype)
-    out_dtype = x_local.dtype
+    out_dtype = x_t.dtype
     if norm:
-        x_local = x_local * ht.degrees[:, None].astype(x_local.dtype)
+        x_t = x_t * ht.degrees[None, :].astype(x_t.dtype)
     # one dtype contract for BOTH branches (single-chip hybrid_aggregate
     # casts before the tiers; the CPU-mesh validation path must exercise
     # the same numerics production runs) — and casting *before* the halo
     # exchange halves the all_to_all bytes at bf16
-    x_local = x_local.astype(ht.agg_dtype)
-    table = _halo_exchange(x_local, g["send_idx"])
+    x_t = x_t.astype(ht.agg_dtype)
+    table_t = _halo_exchange_t(x_t, g["send_idx"])
     if _on_tpu():
-        out = _dist_tiers_kernels_t(x_local, table, ht, sg, overlap)
+        out = _dist_tiers_kernels_t(x_t, table_t, ht, sg, overlap)
     else:
-        out = _dist_tiers_rowmajor(x_local, table, ht, sg, overlap)
+        # CPU mesh: same transposed shard_map program, row-major reference
+        # tier composition at the kernel boundary (the Pallas kernels get
+        # their own interpret-mode tests)
+        out = _dist_tiers_rowmajor(x_t.T, table_t.T, ht, sg, overlap).T
     if norm:
-        out = out * ht.degrees[:, None].astype(out.dtype)
+        out = out * ht.degrees[None, :].astype(out.dtype)
     return out.astype(out_dtype)
 
 
@@ -158,17 +180,17 @@ def _dist_tiers_rowmajor(x_local, table, ht, sg, overlap):
     return out
 
 
-def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
+def _dist_tiers_kernels_t(x_t, table_t, ht, sg, overlap):
     """Per-shard tier composition on the v3 transposed kernels.
 
-    The shard_map boundary (halo all_to_all, loss) stays row-major — the
-    exchange layout is a communication concern, not a kernel one — and the
-    shard transposes its [rows, D] operands once per tier group, so the
+    Everything arrives already transposed (``x_t [D, block]``,
+    ``table_t [D, table_rows]`` from the transposed halo exchange), so the
     slab/residual passes run at the single-chip kernels' exact-byte rates
-    (ops/spmm_pallas.py *_t).  NOTE: like the previous row-major Pallas
-    branch, this only executes on real multi-chip TPU hardware; the CPU
-    mesh (tests, dryrun) validates the surrounding program via the
-    row-major reference path above.
+    (ops/spmm_pallas.py *_t) with ZERO transposes — the round-3 per-layer
+    ``.T`` on [rows, D] operands is gone.  Executes on real TPU hardware
+    (tools/tpu_dist_check.py runs it on a 1-device mesh and checks against
+    the single-chip oracle); the CPU mesh validates the surrounding
+    program via the row-major reference path above.
     """
     from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
@@ -177,12 +199,11 @@ def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
     # program (ADVICE r3: a blanket check_vma=False also exempted the
     # collective/loss code from a check that catches real mistakes)
     vma = frozenset({GRAPH_AXIS})
-    table_t = table.T  # [D, table_rows]; agg_dtype cast by _dist_tiers
     out = None
     if sg.diag_b:
-        diag_src = x_local if overlap else table[: sg.block]
+        diag_src_t = x_t if overlap else table_t[:, : sg.block]
         out = spmm_pallas.slab_matmul_t(
-            ht.diag_bits, diag_src.T, table_block_cols=ht.diag_b,
+            ht.diag_bits, diag_src_t, table_block_cols=ht.diag_b,
             block_cols=min(ht.block_rows, ht.diag_b),
             feature_tile=ht.feature_tile, vma=vma,
         )
@@ -197,8 +218,8 @@ def _dist_tiers_kernels_t(x_local, table, ht, sg, overlap):
         r = residual_tier_t(table_t, ht, vma=vma)
         out = r if out is None else out + r
     if out is None:
-        return jnp.zeros_like(x_local)
-    return out.T  # back to the shard's row-major [block, D]
+        return jnp.zeros_like(x_t)
+    return out  # [D, block]
 
 
 def _graph_specs(sg: HybridShardedGraph):
@@ -251,13 +272,18 @@ def make_dist_loss_fn(
     )
     def loss_fn(params, g, x_blk, y_blk):
         g = {k: v[0] for k, v in g.items()}
-        agg = lambda h, norm: dist_hybrid_aggregate(
-            h, sg, g, norm, overlap, agg_dtype
+        agg = lambda h_t, norm: dist_hybrid_aggregate_t(
+            h_t, sg, g, norm, overlap, agg_dtype
         )
-        log_probs = model_apply_with_agg(model, params, x_blk, agg)
+        # ONE transpose at the shard boundary; the whole forward (GEMMs,
+        # halo exchange, tiers, log_softmax) then runs in the v3 [D, rows]
+        # layout — no per-layer transposes in the traced program
+        log_probs_t = model_apply_with_agg(
+            model, params, x_blk.T, agg, transposed=True
+        )  # [classes, block]
         nll = -jnp.take_along_axis(
-            log_probs, y_blk[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
+            log_probs_t, y_blk[None, :].astype(jnp.int32), axis=0
+        )[0]
         local = jnp.sum(nll * g["node_mask"])
         return jax.lax.psum(local, GRAPH_AXIS) / total_nodes
 

@@ -52,6 +52,23 @@ def _halo_exchange(x_local: jax.Array, send_idx_local: jax.Array) -> jax.Array:
     return jnp.concatenate([x_local, recv.reshape(ndev * halo, -1)], axis=0)
 
 
+def _halo_exchange_t(x_t: jax.Array, send_idx_local: jax.Array) -> jax.Array:
+    """Transposed twin of ``_halo_exchange``: the gather table in the v3
+    feature layout ``[D, B + ndev*H]`` (graph rows on lanes).  Same wire
+    layout — after the exchange, lane ``block + src*H + k`` is row
+    ``send_idx[src, me, k]`` of device ``src`` — so the remapped
+    ``part_cols``/tier indices are orientation-agnostic."""
+    ndev, halo = send_idx_local.shape
+    d = x_t.shape[0]
+    send_buf = jnp.take(
+        x_t, send_idx_local.reshape(-1), axis=1, mode="clip"
+    ).reshape(d, ndev, halo)
+    recv = jax.lax.all_to_all(
+        send_buf, GRAPH_AXIS, split_axis=1, concat_axis=1, tiled=True
+    )
+    return jnp.concatenate([x_t, recv.reshape(d, ndev * halo)], axis=1)
+
+
 def _local_part_reduce(
     table: jax.Array,
     part_cols: jax.Array,
@@ -126,25 +143,39 @@ def _dist_ell_bwd(block, norm, g, ct):
 dist_aggregate.defvjp(_dist_ell_fwd, _dist_ell_bwd)
 
 
-def model_apply_with_agg(model: str, params, x, agg, epsilon: float = 0.5):
+def model_apply_with_agg(
+    model: str, params, x, agg, epsilon: float = 0.5,
+    transposed: bool = False,
+):
     """GCN-2 / GIN-5 forward over an injected per-layer aggregate closure
     ``agg(h, norm)`` — the ONE definition shared by the ELL (dist_ops) and
-    hybrid (dist_hybrid) distributed paths, so the two twins cannot drift."""
+    hybrid (dist_hybrid) distributed paths, so the two twins cannot drift.
+
+    ``transposed``: run the whole forward in the v3 feature layout
+    ``[D, rows]`` (``x`` transposed once at the shard boundary; GEMMs are
+    ``W^T @ h``, class axis 0) — the hybrid path's mode, so no per-layer
+    transposes appear in the traced program."""
+    if transposed:
+        mm = lambda h, w: jnp.matmul(w.T, h)
+        axis = 0
+    else:
+        mm = lambda h, w: jnp.matmul(h, w)
+        axis = 1
     if model == "gcn":
-        h = x @ params["conv1"]
+        h = mm(x, params["conv1"])
         h = jax.nn.relu(agg(h, True))
-        h = h @ params["conv2"]
+        h = mm(h, params["conv2"])
         h = agg(h, True)
-        return jax.nn.log_softmax(h, axis=1)
+        return jax.nn.log_softmax(h, axis=axis)
     if model == "gin":
         h = x
         n_layers = len(params)
         for i in range(n_layers):
             h = epsilon * agg(h, False)
-            h = h @ params[f"conv{i + 1}"]
+            h = mm(h, params[f"conv{i + 1}"])
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
-        return jax.nn.log_softmax(h, axis=1)
+        return jax.nn.log_softmax(h, axis=axis)
     raise ValueError(f"unknown model: {model}")
 
 
