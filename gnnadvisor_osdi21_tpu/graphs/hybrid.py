@@ -106,10 +106,10 @@ class HybridGraph:
     # amplifies their physical bytes (spmm_pallas module docstring).
     hot_k: int
     hot_ids: np.ndarray  # [K] int32 row ids of hot destinations
-    hot_bits: np.ndarray  # [K/32, R] uint32, transposed bit-major
+    hot_bits: np.ndarray  # [K/16, R] uint16, transposed bit-major
     # diagonal tier (0 = disabled)
     diag_b: int
-    diag_bits: np.ndarray  # [B/32, R] uint32, transposed, cols block-local
+    diag_bits: np.ndarray  # [B/16, R] uint16, transposed, cols block-local
     # residual tier (res_dst.size == 0 = disabled).  One slot = one unique
     # (out-block, destination) pair; the multi-hot mask says which of the
     # block's res_ob rows it feeds (dedup: one gather serves every edge
@@ -120,10 +120,11 @@ class HybridGraph:
     res_gather: np.ndarray  # [Ud] int32 unique destination rows (stage 1)
     res_dst: np.ndarray  # [M_pad] int32 index into res_gather per slot
     res_mask: np.ndarray  # [res_ob/32, M_pad] uint32 multi-hot, transposed
-    # same bits in slot-major orientation ([res_tile/32, T*res_ob], slot s
-    # in word s % S32 bit s // S32, out rows on lanes) — the layout the
-    # transposed residual kernel unpacks directly (residual_combine_t)
-    res_mask_s: np.ndarray  # [res_tile/32, T*res_ob] uint32
+    # same bits in slot-major orientation ([res_tile/16, T*res_ob] uint16,
+    # slot s in word s % S16 bit s // S16, out rows on lanes) — the layout
+    # the transposed residual kernel unpacks directly (residual_combine_t;
+    # 16-bit words double the VPU unpack throughput)
+    res_mask_s: np.ndarray  # [res_tile/16, T*res_ob] uint16
     res_t2b: np.ndarray  # [T] int32 out-block of each tile
     res_tile: int
     res_ob: int
@@ -455,23 +456,21 @@ def build_hybrid(
     else:
         hot_ids = np.zeros(0, dtype=np.int32)
 
-    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
-        pack_slab_bits, transpose_slab,
-    )
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits_t
 
-    # --- bit slabs (stored transposed: [words, rows]) ---------------------
+    # --- bit slabs (stored transposed: [words, rows], uint16) -------------
     if hot_k:
-        hot_bits = transpose_slab(pack_slab_bits(
+        hot_bits = pack_slab_bits_t(
             src[in_hot], hot_col[ci[in_hot]], num_rows, hot_k
-        ))
+        )
     else:
-        hot_bits = np.zeros((0, num_rows), dtype=np.uint32)
+        hot_bits = np.zeros((0, num_rows), dtype=np.uint16)
     if diag_b:
-        diag_bits = transpose_slab(pack_slab_bits(
+        diag_bits = pack_slab_bits_t(
             src[in_diag], ci[in_diag] % diag_b, num_rows, diag_b
-        ))
+        )
     else:
-        diag_bits = np.zeros((0, num_rows), dtype=np.uint32)
+        diag_bits = np.zeros((0, num_rows), dtype=np.uint16)
 
     # --- residual slot stream -------------------------------------------
     # One slot per unique (out-block, destination) pair; the multi-hot
@@ -536,18 +535,18 @@ def build_residual_stream(
     res_t2b, num_pairs)`` — one slot per unique (out-block, source) pair,
     multi-hot masks in BOTH bit orientations (``res_mask`` out-row-major
     [res_ob/32, M_pad] for the row-major kernel / CPU reference;
-    ``res_mask_s`` slot-major [res_tile/32, T*res_ob] for the transposed
+    ``res_mask_s`` slot-major uint16 [res_tile/16, T*res_ob] for the transposed
     kernel), tiles grouped per out-block (see HybridGraph fields).
     """
     n_blocks = num_rows // res_ob
     words = res_ob // 32
-    sw = res_tile // 32
+    sw = res_tile // 16
     if not len(rs):
         return (
             np.zeros(0, dtype=np.int32),
             np.zeros(0, dtype=np.int32),
             np.zeros((words, 0), dtype=np.uint32),
-            np.zeros((sw, 0), dtype=np.uint32),
+            np.zeros((sw, 0), dtype=np.uint16),
             np.zeros(0, dtype=np.int32),
             0,
         )
@@ -583,19 +582,20 @@ def build_residual_stream(
         np.uint32(1) << (off // words).astype(np.uint32),
     )
     res_t2b = np.repeat(np.arange(n_blocks, dtype=np.int32), padded_b // res_tile)
-    # slot-major orientation: per edge, slot pos -> (tile, slot-in-tile);
-    # lane = tile*res_ob + out-row offset; bit-major within the slot axis.
-    # Requires res_tile % 32 == 0 (true for every production layout; tiny
-    # test tiles fall back to an empty sentinel — the transposed kernel is
+    # slot-major orientation (uint16 — see spmm_pallas._unpack_tile_t16):
+    # per edge, slot pos -> (tile, slot-in-tile); lane = tile*res_ob +
+    # out-row offset; bit-major within the slot axis.  Requires
+    # res_tile % 16 == 0 (true for every production layout; tiny test
+    # tiles fall back to an empty sentinel — the transposed kernel is
     # unusable there anyway).
     if sw > 0:
         n_tiles = m_pad // res_tile
-        mask_s = np.zeros((sw, n_tiles * res_ob), dtype=np.uint32)
+        mask_s = np.zeros((sw, n_tiles * res_ob), dtype=np.uint16)
         si = pu % res_tile
         lane = (pu // res_tile) * res_ob + off
         np.bitwise_or.at(
-            mask_s, (si % sw, lane), np.uint32(1) << (si // sw).astype(np.uint32)
+            mask_s, (si % sw, lane), np.uint16(1) << (si // sw).astype(np.uint16)
         )
     else:
-        mask_s = np.zeros((0, 0), dtype=np.uint32)
+        mask_s = np.zeros((0, 0), dtype=np.uint16)
     return res_gather, res_dst, res_mask_t, mask_s, res_t2b, u

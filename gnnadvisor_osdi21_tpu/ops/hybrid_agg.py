@@ -167,12 +167,13 @@ def _diag_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
             ht.diag_bits, x, ht.diag_b,
             block_rows=ht.block_rows, feature_tile=ht.feature_tile,
         )
-    # Reference path (CPU tests): explicit unpack of the transposed slab.
+    # Reference path (CPU tests): explicit unpack of the transposed slab
+    # (uint16 device layout: column j -> word j % W16, bit j // W16).
     b = ht.diag_b
     nb = ht.num_rows // b
-    w32 = b // 32
+    w16 = b // 16
     j = jnp.arange(b)
-    a = ((ht.diag_bits[j % w32, :].T >> (j // w32).astype(jnp.uint32)[None, :])
+    a = ((ht.diag_bits[j % w16, :].T >> (j // w16).astype(jnp.uint16)[None, :])
          & 1).astype(x.dtype)  # [R, B]
     return jnp.einsum(
         "gbc,gcd->gbd",
@@ -193,9 +194,9 @@ def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
             block_rows=ht.block_rows, feature_tile=ht.feature_tile,
         )
     k = ht.hot_k
-    w32 = k // 32
+    w16 = k // 16
     j = jnp.arange(k)
-    a = ((ht.hot_bits[j % w32, :].T >> (j // w32).astype(jnp.uint32)[None, :])
+    a = ((ht.hot_bits[j % w16, :].T >> (j // w16).astype(jnp.uint16)[None, :])
          & 1).astype(x.dtype)  # [R, K]
     return jnp.matmul(a, x_hot, preferred_element_type=jnp.float32)
 

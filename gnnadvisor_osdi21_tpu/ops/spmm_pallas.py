@@ -13,15 +13,18 @@ share the kernel body:
   ``i`` is the matching contiguous slice ``x[blk*B:(blk+1)*B]`` — zero
   gathers; community reordering packs edges into these blocks.
 
-**Storage layout — transposed, [K/32, R] uint32.**  TPU tiled layouts pad
+**Storage layout — transposed, [K/16, R] uint16.**  TPU tiled layouts pad
 the minor dimension of every array to 128 lanes, so a row-major
 ``[R, K/32]`` slab narrower than 128 words is stored AND streamed at up
 to 8-16x its logical bytes (measured: a 512-column slab at 1.89M rows
 materialized 923 MB and OOM'd the SW-620H GIN run).  Keeping rows on the
 *lane* axis makes the physical bytes exactly the logical bytes for every
 slab width.  Within a word the layout is bit-major: column ``j`` lives in
-word ``j % W32`` at bit ``j // W32``, so one ``pltpu.repeat(..., 32,
-axis=0)`` plus a per-sublane shift unpacks a whole tile.
+word ``j % W16`` at bit ``j // W16``, so one ``pltpu.repeat(..., 16,
+axis=0)`` plus a per-sublane AND/select unpacks a whole tile — 16-bit
+words, because 16-bit lanes pack two cells per VPU lane and double the
+unpack throughput over the earlier uint32 layout (Mosaic cannot legalize
+16-bit shifts, hence the shift-free bit test).
 
 This is the MXU re-expression of the reference's warp-level aggregation
 (GNNAdvisor_kernel.cu:324-415): instead of warps gathering neighbor rows
@@ -83,6 +86,31 @@ def _unpack_tile_t(bits_ref, shift_ref, dtype):
     return a if dtype == jnp.float32 else a.astype(dtype)
 
 
+def _unpack_tile_t16(bits_ref, pow2_ref, dtype):
+    """Unpack a transposed [W16, TR] uint16 slab tile to [K, TR] 0/1.
+
+    The 16-bit twin of ``_unpack_tile_t`` and the one the transposed (v3)
+    kernels use: 16-bit lanes pack two cells per 32-bit VPU lane, so every
+    unpack op runs at 2x the uint32 throughput (measured: the residual
+    combine kernel drops 1.25 -> 0.64 ms on the amazon0505-scale stream,
+    2026-08-20).  Mosaic cannot legalize 16-bit shifts (arith.shrui), so
+    the bit test is shift-free: AND with a per-sublane power-of-two column
+    and select — column j lives in word j % W16 at bit j // W16, and
+    ``pow2_ref[j] = 1 << (j // W16)``."""
+    words = pltpu.repeat(bits_ref[:], 16, axis=0)  # [K, TR] uint16
+    sel = (words & pow2_ref[:]) != jnp.uint16(0)
+    if dtype == jnp.float32:
+        return jnp.where(sel, jnp.float32(1), jnp.float32(0))
+    return jnp.where(sel, jnp.bfloat16(1), jnp.bfloat16(0))
+
+
+def _pow2_col(k: int, w16: int):
+    """[K, 1] uint16 bit-test column for ``_unpack_tile_t16``."""
+    return (
+        jnp.uint16(1) << (jnp.arange(k, dtype=jnp.uint16) // jnp.uint16(w16))
+    )[:, None]
+
+
 def _contract(a_t, x, dtype):
     """out[R_tile, D] = a_t[K, R_tile]^T @ x[K, D], K on the MXU."""
     return jax.lax.dot_general(
@@ -92,9 +120,9 @@ def _contract(a_t, x, dtype):
     )
 
 
-def _slab_kernel(bits_ref, shift_ref, x_ref, out_ref):
+def _slab_kernel(bits_ref, pow2_ref, x_ref, out_ref):
     """One grid step: unpack a rows-tile of the bit slab, contract with x."""
-    a_t = _unpack_tile_t(bits_ref, shift_ref, x_ref.dtype)
+    a_t = _unpack_tile_t16(bits_ref, pow2_ref, x_ref.dtype)
     out_ref[:] = _contract(a_t, x_ref[:], x_ref.dtype)
 
 
@@ -103,7 +131,7 @@ def _slab_kernel(bits_ref, shift_ref, x_ref, out_ref):
     static_argnames=("table_block_rows", "block_rows", "feature_tile", "interpret"),
 )
 def slab_matmul(
-    bits_t: jax.Array,  # [K/32, R] uint32, transposed bit-major
+    bits_t: jax.Array,  # [K/16, R] uint16, transposed bit-major
     x: jax.Array,  # [K, D] (hot) or [R, D] (diagonal)
     table_block_rows: int | None = None,
     block_rows: int = 512,
@@ -111,9 +139,10 @@ def slab_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     """out[R, D] f32 = unpack(bits_t)^T @ x (global or block-local table)."""
-    w32, r = bits_t.shape
-    k = w32 * 32
+    w16, r = bits_t.shape
+    k = w16 * 16
     t, d = x.shape
+    assert bits_t.dtype == jnp.uint16, "slabs are uint16 (see _unpack_tile_t16)"
     if table_block_rows is None:
         assert t == k, f"hot table rows {t} != slab K {k}"
     else:
@@ -144,7 +173,6 @@ def slab_matmul(
         blocks_per_diag = table_block_rows // block_rows
         x_index = lambda i, j: (i // blocks_per_diag, j)
 
-    shift_col = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[:, None]
     out = pl.pallas_call(
         _slab_kernel,
         out_shape=jax.ShapeDtypeStruct((r, dp), jnp.float32),
@@ -152,7 +180,7 @@ def slab_matmul(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (w32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                    (w16, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((k, td), x_index, memory_space=pltpu.VMEM),
@@ -163,11 +191,11 @@ def slab_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * k * dp,
-            bytes_accessed=r * w32 * 4 * (dp // td) + t * dp * 4 + r * dp * 4,
+            bytes_accessed=r * w16 * 2 * (dp // td) + t * dp * 4 + r * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bits_t, shift_col, x)
+    )(bits_t, _pow2_col(k, w16), x)
     return out[:, :d] if dp != d else out
 
 
@@ -201,14 +229,14 @@ def diag_slab_matmul(
     )
 
 
-def _fused_kernel(db_ref, dshift_ref, hb_ref, hshift_ref, x_ref, xh_ref, out_ref):
+def _fused_kernel(db_ref, dpow2_ref, hb_ref, hpow2_ref, x_ref, xh_ref, out_ref):
     """One grid step: unpack BOTH slabs, two MXU contractions, one write.
 
     The measured slab cost is ``rows·(a + b·K)`` with a ≈ 4.7 ns/row
     dominating at practical K — fusing the diagonal and hot tiers into one
     pallas_call pays the fixed per-row cost once instead of twice."""
-    da = _unpack_tile_t(db_ref, dshift_ref, x_ref.dtype)
-    ha = _unpack_tile_t(hb_ref, hshift_ref, xh_ref.dtype)
+    da = _unpack_tile_t16(db_ref, dpow2_ref, x_ref.dtype)
+    ha = _unpack_tile_t16(hb_ref, hpow2_ref, xh_ref.dtype)
     out_ref[:] = _contract(da, x_ref[:], x_ref.dtype) + _contract(
         ha, xh_ref[:], xh_ref.dtype
     )
@@ -219,8 +247,8 @@ def _fused_kernel(db_ref, dshift_ref, hb_ref, hshift_ref, x_ref, xh_ref, out_ref
     static_argnames=("diag_b", "block_rows", "feature_tile", "interpret"),
 )
 def fused_slab_matmul(
-    diag_bits_t: jax.Array,  # [B/32, R] uint32, block-local columns
-    hot_bits_t: jax.Array,  # [K/32, R] uint32, global hot columns
+    diag_bits_t: jax.Array,  # [B/16, R] uint16, block-local columns
+    hot_bits_t: jax.Array,  # [K/16, R] uint16, global hot columns
     x: jax.Array,  # [R, D] (diag operand, sliced per block)
     x_hot: jax.Array,  # [K, D] (gathered hot table)
     diag_b: int,
@@ -229,11 +257,12 @@ def fused_slab_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     """out[R, D] = blockdiag(diag)^T @ x + hot^T @ x_hot, one row pass."""
-    dw32, r = diag_bits_t.shape
-    b = dw32 * 32
-    hw32, _ = hot_bits_t.shape
-    k = hw32 * 32
+    dw16, r = diag_bits_t.shape
+    b = dw16 * 16
+    hw16, _ = hot_bits_t.shape
+    k = hw16 * 16
     t, d = x_hot.shape
+    assert diag_bits_t.dtype == jnp.uint16 and hot_bits_t.dtype == jnp.uint16
     assert b == diag_b and t == k and x.shape[0] == r
     block_rows = min(block_rows, diag_b)
     assert diag_b % block_rows == 0 and r % block_rows == 0
@@ -250,8 +279,8 @@ def fused_slab_matmul(
     grid = (r // block_rows, dp // td)
     bpd = diag_b // block_rows
 
-    dshift = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(dw32))[:, None]
-    hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[:, None]
+    dpow2 = _pow2_col(b, dw16)
+    hpow2 = _pow2_col(k, hw16)
     out = pl.pallas_call(
         _fused_kernel,
         out_shape=jax.ShapeDtypeStruct((r, dp), jnp.float32),
@@ -259,11 +288,11 @@ def fused_slab_matmul(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (dw32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                    (dw16, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (hw32, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                    (hw16, block_rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
@@ -277,12 +306,12 @@ def fused_slab_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * (b + k) * dp,
-            bytes_accessed=r * (dw32 + hw32) * 4 * (dp // td)
+            bytes_accessed=r * (dw16 + hw16) * 2 * (dp // td)
             + (r + t) * dp * 4 + r * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(diag_bits_t, dshift, hot_bits_t, hshift, x, x_hot)
+    )(diag_bits_t, dpow2, hot_bits_t, hpow2, x, x_hot)
     return out[:, :d] if dp != d else out
 
 
@@ -411,9 +440,9 @@ def _feature_tiles_t(d: int, feature_tile: int):
     return td, _round_up(d, td)
 
 
-def _slab_kernel_t(bits_ref, shift_ref, xt_ref, out_ref):
+def _slab_kernel_t(bits_ref, pow2_ref, xt_ref, out_ref):
     """One grid step: out[td, bc] = x_t[td, K] @ unpack(bits)[K, bc]."""
-    a_t = _unpack_tile_t(bits_ref, shift_ref, xt_ref.dtype)
+    a_t = _unpack_tile_t16(bits_ref, pow2_ref, xt_ref.dtype)
     out_ref[:] = jax.lax.dot_general(
         xt_ref[:], a_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -428,7 +457,7 @@ def _slab_kernel_t(bits_ref, shift_ref, xt_ref, out_ref):
     ),
 )
 def slab_matmul_t(
-    bits_t: jax.Array,  # [K/32, R] uint32, transposed bit-major
+    bits_t: jax.Array,  # [K/16, R] uint16, transposed bit-major
     x_t: jax.Array,  # [D, K] (hot) or [D, R] (diagonal)
     table_block_cols: int | None = None,
     block_cols: int = 512,
@@ -441,9 +470,10 @@ def slab_matmul_t(
     ``vma``: varying-mesh-axes annotation for the output when called
     inside a ``shard_map`` with ``check_vma=True`` (pallas_call cannot
     infer it — jax 0.9 requires it on ``out_shape``)."""
-    w32, r = bits_t.shape
-    k = w32 * 32
+    w16, r = bits_t.shape
+    k = w16 * 16
     d, t = x_t.shape
+    assert bits_t.dtype == jnp.uint16, "transposed slabs are uint16"
     if table_block_cols is None:
         assert t == k, f"hot table cols {t} != slab K {k}"
     else:
@@ -467,7 +497,6 @@ def slab_matmul_t(
         blocks_per_diag = table_block_cols // block_cols
         x_index = lambda i, j: (j, i // blocks_per_diag)
 
-    shift_col = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(w32))[:, None]
     out = pl.pallas_call(
         _slab_kernel_t,
         out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32, vma=vma),
@@ -475,7 +504,7 @@ def slab_matmul_t(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (w32, block_cols), lambda i, j: (0, i),
+                    (w16, block_cols), lambda i, j: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -487,19 +516,19 @@ def slab_matmul_t(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * k * dp,
-            bytes_accessed=r * w32 * 4 * (dp // td) + t * dp * 4 + r * dp * 4,
+            bytes_accessed=r * w16 * 2 * (dp // td) + t * dp * 4 + r * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bits_t, shift_col, x_t)
+    )(bits_t, _pow2_col(k, w16), x_t)
     return out[:d] if dp != d else out
 
 
-def _fused_kernel_t(db_ref, dshift_ref, hb_ref, hshift_ref, xt_ref, xht_ref,
+def _fused_kernel_t(db_ref, dpow2_ref, hb_ref, hpow2_ref, xt_ref, xht_ref,
                     out_ref):
     """One grid step: both slabs unpacked, two MXU contractions, one write."""
-    da = _unpack_tile_t(db_ref, dshift_ref, xt_ref.dtype)
-    ha = _unpack_tile_t(hb_ref, hshift_ref, xht_ref.dtype)
+    da = _unpack_tile_t16(db_ref, dpow2_ref, xt_ref.dtype)
+    ha = _unpack_tile_t16(hb_ref, hpow2_ref, xht_ref.dtype)
     prec_d = _precision(xt_ref.dtype)
     out_ref[:] = jax.lax.dot_general(
         xt_ref[:], da, (((1,), (0,)), ((), ())),
@@ -515,8 +544,8 @@ def _fused_kernel_t(db_ref, dshift_ref, hb_ref, hshift_ref, xt_ref, xht_ref,
     static_argnames=("diag_b", "block_cols", "feature_tile", "interpret", "vma"),
 )
 def fused_slab_matmul_t(
-    diag_bits_t: jax.Array,  # [B/32, R] uint32, block-local columns
-    hot_bits_t: jax.Array,  # [K/32, R] uint32, global hot columns
+    diag_bits_t: jax.Array,  # [B/16, R] uint16, block-local columns
+    hot_bits_t: jax.Array,  # [K/16, R] uint16, global hot columns
     x_t: jax.Array,  # [D, R] (diag operand, sliced per block)
     x_hot_t: jax.Array,  # [D, K] (gathered hot table)
     diag_b: int,
@@ -527,11 +556,12 @@ def fused_slab_matmul_t(
 ) -> jax.Array:
     """out[D, R] = x_t @ blockdiag(diag) + x_hot_t @ hot, one column pass.
     ``vma``: see slab_matmul_t."""
-    dw32, r = diag_bits_t.shape
-    b = dw32 * 32
-    hw32, _ = hot_bits_t.shape
-    k = hw32 * 32
+    dw16, r = diag_bits_t.shape
+    b = dw16 * 16
+    hw16, _ = hot_bits_t.shape
+    k = hw16 * 16
     d, t = x_hot_t.shape
+    assert diag_bits_t.dtype == jnp.uint16 and hot_bits_t.dtype == jnp.uint16
     assert b == diag_b and t == k and x_t.shape[1] == r
     block_cols = min(block_cols, diag_b)
     assert diag_b % block_cols == 0 and r % block_cols == 0
@@ -543,8 +573,8 @@ def fused_slab_matmul_t(
     grid = (r // block_cols, dp // td)
     bpd = diag_b // block_cols
 
-    dshift = (jnp.arange(b, dtype=jnp.uint32) // jnp.uint32(dw32))[:, None]
-    hshift = (jnp.arange(k, dtype=jnp.uint32) // jnp.uint32(hw32))[:, None]
+    dpow2 = _pow2_col(b, dw16)
+    hpow2 = _pow2_col(k, hw16)
     out = pl.pallas_call(
         _fused_kernel_t,
         out_shape=jax.ShapeDtypeStruct((dp, r), jnp.float32, vma=vma),
@@ -552,12 +582,12 @@ def fused_slab_matmul_t(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (dw32, block_cols), lambda i, j: (0, i),
+                    (dw16, block_cols), lambda i, j: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (hw32, block_cols), lambda i, j: (0, i),
+                    (hw16, block_cols), lambda i, j: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((k, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -572,16 +602,16 @@ def fused_slab_matmul_t(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * (b + k) * dp,
-            bytes_accessed=r * (dw32 + hw32) * 4 * (dp // td)
+            bytes_accessed=r * (dw16 + hw16) * 2 * (dp // td)
             + (r + t) * dp * 4 + r * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(diag_bits_t, dshift, hot_bits_t, hshift, x_t, x_hot_t)
+    )(diag_bits_t, dpow2, hot_bits_t, hpow2, x_t, x_hot_t)
     return out[:d] if dp != d else out
 
 
-def _resid_kernel_t(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
+def _resid_kernel_t(t2b_ref, mask_ref, pow2_ref, rows_ref, out_ref):
     """One grid step = one residual tile: unpack the [S, OB] multi-hot mask
     (slot-major bit layout), contract the slot axis on the MXU, accumulate
     into the tile's output block (tiles grouped per block, t2b sorted)."""
@@ -589,7 +619,7 @@ def _resid_kernel_t(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
     prev = t2b_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, t2b_ref[i] != prev)
 
-    a = _unpack_tile_t(mask_ref, shift_ref, rows_ref.dtype)  # [S, OB]
+    a = _unpack_tile_t16(mask_ref, pow2_ref, rows_ref.dtype)  # [S, OB]
 
     @pl.when(first)
     def _():
@@ -608,7 +638,7 @@ def _resid_kernel_t(t2b_ref, mask_ref, shift_ref, rows_ref, out_ref):
 )
 def residual_combine_t(
     rows_t: jax.Array,  # [D, M_pad] gathered slot rows (pad slots: any value)
-    mask_s: jax.Array,  # [S/32, T*OB] uint32 multi-hot, slot-major (0 on pads)
+    mask_s: jax.Array,  # [S/16, T*OB] uint16 multi-hot, slot-major (0 on pads)
     t2b: jax.Array,  # [T] int32 tile -> out-block, sorted ascending
     num_rows: int,
     res_ob: int,
@@ -619,15 +649,16 @@ def residual_combine_t(
     """out[D, num_rows] f32: residual-tier combine, transposed + fused.
     ``vma``: see slab_matmul_t.
 
-    The slot-major mask layout stores slot s of a tile in word ``s % S32``
-    bit ``s // S32`` with the tile's output rows on the lane axis, so one
-    repeat+shift unpack yields the [S, OB] operand the transposed MXU
-    contraction wants — no in-kernel transpose.
+    The slot-major mask layout stores slot s of a tile in word ``s % S16``
+    bit ``s // S16`` with the tile's output rows on the lane axis, so one
+    repeat + AND/select unpack (``_unpack_tile_t16``) yields the [S, OB]
+    operand the transposed MXU contraction wants — no in-kernel transpose.
     """
     d, m_pad = rows_t.shape
     words, lanes = mask_s.shape
-    s = words * 32
+    s = words * 16
     t = t2b.shape[0]
+    assert mask_s.dtype == jnp.uint16, "slot-major masks are uint16"
     assert lanes == t * res_ob and t * s == m_pad
     n_blocks = num_rows // res_ob
 
@@ -635,7 +666,6 @@ def residual_combine_t(
     if dp != d:
         rows_t = jnp.pad(rows_t, ((0, dp - d), (0, 0)))
 
-    shift_col = (jnp.arange(s, dtype=jnp.uint32) // jnp.uint32(words))[:, None]
     out = pl.pallas_call(
         _resid_kernel_t,
         out_shape=jax.ShapeDtypeStruct((dp, num_rows), jnp.float32, vma=vma),
@@ -663,12 +693,12 @@ def residual_combine_t(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * res_ob * dp,
-            bytes_accessed=m_pad * (words * 4 // max(s // res_ob, 1) + dp * 4)
+            bytes_accessed=m_pad * (words * 2 // max(s // res_ob, 1) + dp * 4)
             + n_blocks * res_ob * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(t2b, mask_s, shift_col, rows_t)
+    )(t2b, mask_s, _pow2_col(s, words), rows_t)
     return out[:d] if dp != d else out
 
 
@@ -687,10 +717,38 @@ def pack_slab_bits(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int
 
 
 def transpose_slab(bits: "np.ndarray"):
-    """[R, W32] row-major -> contiguous [W32, R] device layout."""
+    """[R, K/32] row-major uint32 oracle view -> [K/16, R] uint16 device
+    layout (column j -> word j % W16, bit j // W16).  Test/probe helper;
+    production builders pack the device layout directly
+    (``pack_slab_bits_t``)."""
     import numpy as np
 
-    return np.ascontiguousarray(bits.T)
+    r, w32 = bits.shape
+    k = w32 * 32
+    w16 = k // 16
+    j = np.arange(k)
+    dense = (
+        (bits[:, j % w32] >> (j // w32).astype(np.uint32)) & np.uint32(1)
+    ).astype(np.uint16)  # [R, K]
+    out = np.zeros((w16, r), dtype=np.uint16)
+    for b in range(16):
+        out |= dense[:, b * w16 : (b + 1) * w16].T << np.uint16(b)
+    return out
+
+
+def pack_slab_bits_t(rows: "np.ndarray", cols: "np.ndarray", num_rows: int, k: int):
+    """Host-side device-layout slab builder: [K/16, R] uint16, bit-major —
+    column j -> word j % (K/16), bit j // (K/16) (see ``_unpack_tile_t16``).
+    Built directly in the transposed orientation with one per-edge OR (a
+    row-major build + strided transpose is cache-hostile at 10M+ edges)."""
+    import numpy as np
+
+    w16 = k // 16
+    bits = np.zeros((w16, num_rows), dtype=np.uint16)
+    np.bitwise_or.at(
+        bits, (cols % w16, rows), np.uint16(1) << (cols // w16).astype(np.uint16)
+    )
+    return bits
 
 
 def unpack_slab(bits: "np.ndarray", k: int):

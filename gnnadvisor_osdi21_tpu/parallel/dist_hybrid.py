@@ -46,7 +46,7 @@ from gnnadvisor_osdi21_tpu.ops.hybrid_agg import (
     residual_tier_t,
 )
 from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
-    _halo_exchange_t,
+    _halo_exchange_ragged_t,
     model_apply_with_agg,
 )
 from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import HybridShardedGraph
@@ -148,7 +148,7 @@ def _dist_tiers_t(
     # the same numerics production runs) — and casting *before* the halo
     # exchange halves the all_to_all bytes at bf16
     x_t = x_t.astype(ht.agg_dtype)
-    table_t = _halo_exchange_t(x_t, g["send_idx"])
+    table_t = _halo_exchange_ragged_t(x_t, g)
     if _on_tpu():
         out = _dist_tiers_kernels_t(x_t, table_t, ht, sg, overlap)
     else:
@@ -229,7 +229,16 @@ def _graph_specs(sg: HybridShardedGraph):
         "res_gather": P(GRAPH_AXIS, None),
         "res_dst": P(GRAPH_AXIS, None),
         "res_t2b": P(GRAPH_AXIS, None),
+        # ragged exchange plan (dist_ops._halo_exchange_ragged_t): the TPU
+        # path reads send_flat + offsets/sizes, the CPU-mesh emulation
+        # reads send_idx + halo_repack — all halo-scale, ship both
+        "send_flat": P(GRAPH_AXIS, None),
+        "halo_in_off": P(GRAPH_AXIS, None),
+        "halo_send_sizes": P(GRAPH_AXIS, None),
+        "halo_out_off": P(GRAPH_AXIS, None),
+        "halo_sizes": P(GRAPH_AXIS, None),
         "send_idx": P(GRAPH_AXIS, None, None),
+        "halo_repack": P(GRAPH_AXIS, None),
     }
     # ship only the mask orientation the backend's kernels read — the two
     # twins are equal-sized, and holding both wastes ~words*M_pad*4 bytes

@@ -69,6 +69,50 @@ def _halo_exchange_t(x_t: jax.Array, send_idx_local: jax.Array) -> jax.Array:
     return jnp.concatenate([x_t, recv.reshape(d, ndev * halo)], axis=1)
 
 
+def _halo_exchange_ragged_t(x_t: jax.Array, g: dict) -> jax.Array:
+    """Exact-size halo exchange in the transposed layout: the gather table
+    ``[D, B + recv_max]`` packs each receiver's halo compactly (segments in
+    sender order), shipping Σ halo_sizes rows per device instead of the
+    uniform-Hmax all_to_all's ``ndev·Hmax`` — after rabbit the pair sizes
+    are heavily skewed, so the dense plan pads most pairs enormously at
+    32-64 devices (hybrid_partition builds both plans; ``ogb_scale_demo``
+    reports the measured byte reduction).
+
+    TPU: ``jax.lax.ragged_all_to_all`` (leading-dim ragged, so the
+    halo-sized send/recv buffers transpose at the exchange boundary —
+    halo ≪ block rows, the full shard never transposes).  The CPU mesh has
+    no ragged-all-to-all lowering (XLA:CPU ThunkEmitter, jax 0.9), so it
+    validates the SAME table layout by dense exchange + a static repack
+    gather."""
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
+
+    d = x_t.shape[0]
+    r_max = g["halo_repack"].shape[0]
+    if _on_tpu():
+        send = jnp.take(
+            x_t, g["send_flat"], axis=1, mode="clip"
+        ).T  # [Smax, D]
+        out = jnp.zeros((r_max, d), x_t.dtype)
+        recv = jax.lax.ragged_all_to_all(
+            send, out,
+            g["halo_in_off"], g["halo_send_sizes"],
+            # recv_sizes[r, s] = halo_sizes[r, s] (receiver-indexed census)
+            g["halo_out_off"], g["halo_sizes"],
+            axis_name=GRAPH_AXIS,
+        )
+        return jnp.concatenate([x_t, recv.T], axis=1)
+    ndev, halo = g["send_idx"].shape[:2]
+    send_buf = jnp.take(
+        x_t, g["send_idx"].reshape(-1), axis=1, mode="clip"
+    ).reshape(d, ndev, halo)
+    recv = jax.lax.all_to_all(
+        send_buf, GRAPH_AXIS, split_axis=1, concat_axis=1, tiled=True
+    ).reshape(d, ndev * halo)
+    return jnp.concatenate(
+        [x_t, jnp.take(recv, g["halo_repack"], axis=1)], axis=1
+    )
+
+
 def _local_part_reduce(
     table: jax.Array,
     part_cols: jax.Array,

@@ -57,31 +57,39 @@ class HybridShardedGraph:
     res_gather: np.ndarray  # [ndev, Ug] int32 — TABLE row ids (stage 1)
     res_dst: np.ndarray  # [ndev, M] int32 into res_gather (stage 2)
     res_mask: np.ndarray  # [ndev, res_ob/32, M] uint32 multi-hot
-    res_mask_s: np.ndarray  # [ndev, res_tile/32, T*res_ob] slot-major twin
+    res_mask_s: np.ndarray  # [ndev, res_tile/16, T*res_ob] uint16 slot-major twin
     res_t2b: np.ndarray  # [ndev, T] int32 tile -> out-block (sorted)
-    send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 rows to ship
+    send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 rows to ship (dense plan)
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees
     node_mask: np.ndarray  # [ndev, B] f32, 1 on real rows
-    # exact per-pair halo census [sender, receiver] — the ragged exchange
-    # plan (parallel/dist_ops._halo_exchange_ragged) ships exactly these
-    # rows instead of padding every pair to the fleet-wide ``halo``
-    halo_sizes: np.ndarray | None = None  # [ndev, ndev] int32
+    # --- ragged exchange plan (the table layout all tier indices use) -----
+    # exact per-pair halo census: halo_sizes[r, s] = unique rows receiver r
+    # needs from sender s.  The table packs each receiver's halo compactly
+    # (jax.lax.ragged_all_to_all on TPU; dense all_to_all + halo_repack
+    # emulation on the CPU mesh — dist_ops._halo_exchange_ragged_t).
+    halo_sizes: np.ndarray | None = None  # [ndev(r), ndev(s)] int32
+    recv_max: int = 0  # padded max Σ_s halo_sizes[r, s] (table halo span)
+    send_flat: np.ndarray | None = None  # [ndev, Smax] sender gather list
+    halo_in_off: np.ndarray | None = None  # [ndev(s), ndev(r)] send offsets
+    halo_send_sizes: np.ndarray | None = None  # [ndev(s), ndev(r)]
+    halo_out_off: np.ndarray | None = None  # [ndev(s), ndev(r)] recv offsets
+    halo_repack: np.ndarray | None = None  # [ndev(r), recv_max] dense->ragged
 
     @property
     def dense_exchange_rows(self) -> int:
-        """Rows the padded all_to_all ships per device (ndev · Hmax)."""
+        """Rows a uniform-Hmax all_to_all would ship per device."""
         return self.num_devices * self.halo
 
     @property
     def ragged_exchange_rows(self) -> int:
-        """Max rows any device actually ships under the exact-size plan."""
+        """Max rows any device actually receives under the exact-size plan."""
         if self.halo_sizes is None:
             return self.dense_exchange_rows
         return int(self.halo_sizes.sum(axis=1).max())
 
     @property
     def table_rows(self) -> int:
-        return self.block + self.num_devices * self.halo
+        return self.block + self.recv_max
 
 
 def shard_graph_hybrid(
@@ -154,16 +162,43 @@ def shard_graph_hybrid(
     uid = ukey % (n_pad + 1)
     pair_counts = np.bincount(upair, minlength=num_devices * num_devices)
     pair_off = np.concatenate(([0], np.cumsum(pair_counts)))
+    # halo_sizes[r, s] = unique rows receiver r needs from sender s
     halo_sizes = pair_counts.reshape(num_devices, num_devices).astype(np.int32)
     h_max = max(int(pair_counts.max(initial=0)), 1)
     h_max = _round_up(h_max, pad_halo_to)
-    table = block + num_devices * h_max
 
+    # --- ragged exchange plan ---------------------------------------------
+    # The gather table packs each receiver's halo COMPACTLY (segments in
+    # sender order, exclusive-cumsum offsets) instead of striding every
+    # pair to the fleet-wide h_max: after rabbit the pair sizes are heavily
+    # skewed, so the compact table ships/stores Σ_s sizes[r, s] rows per
+    # device instead of ndev·h_max (the wire savings are realized by
+    # jax.lax.ragged_all_to_all on TPU; the CPU mesh emulates the same
+    # table layout over a dense all_to_all + repack — dist_ops).
+    recv_off = np.zeros((num_devices, num_devices), dtype=np.int32)
+    recv_off[:, 1:] = np.cumsum(halo_sizes, axis=1)[:, :-1]
+    recv_total = halo_sizes.sum(axis=1)
+    recv_max = _round_up(max(int(recv_total.max(initial=0)), 1), pad_halo_to)
+    table = block + recv_max
+    send_per = halo_sizes.sum(axis=0)  # rows sender s ships in total
+    s_max = _round_up(max(int(send_per.max(initial=0)), 1), pad_halo_to)
+    # sender-side plan: sizes/offsets by receiver, flat gather list
+    halo_send_sizes = np.ascontiguousarray(halo_sizes.T)  # [s, r]
+    halo_in_off = np.zeros((num_devices, num_devices), dtype=np.int32)
+    halo_in_off[:, 1:] = np.cumsum(halo_send_sizes, axis=1)[:, :-1]
+    halo_out_off = np.ascontiguousarray(recv_off.T)  # [s, r] -> recv_off[r, s]
+    send_flat = np.zeros((num_devices, s_max), dtype=np.int32)
     send_idx = np.zeros((num_devices, num_devices, h_max), dtype=np.int32)
+    halo_repack = np.zeros((num_devices, recv_max), dtype=np.int32)
     for p in np.nonzero(pair_counts)[0]:
-        d, e = divmod(int(p), num_devices)
+        r, s = divmod(int(p), num_devices)
         ids = uid[pair_off[p] : pair_off[p + 1]]  # sorted ascending
-        send_idx[e, d, : len(ids)] = (ids - e * block).astype(np.int32)
+        loc = (ids - s * block).astype(np.int32)
+        send_idx[s, r, : len(ids)] = loc
+        send_flat[s, halo_in_off[s, r] : halo_in_off[s, r] + len(ids)] = loc
+        halo_repack[r, recv_off[r, s] : recv_off[r, s] + len(ids)] = (
+            s * h_max + np.arange(len(ids), dtype=np.int32)
+        )
 
     # --- column remap: one global searchsorted over remote edges ----------
     col_t = np.empty(len(src), dtype=np.int64)
@@ -171,11 +206,9 @@ def shard_graph_hybrid(
     col_t[local] = ci[local] - src_dev[local] * block
     pos = np.searchsorted(ukey, rkey)  # position within the sorted census
     within = pos - pair_off[upair[pos]]
-    col_t[remote] = block + dst_dev[remote] * h_max + within
+    col_t[remote] = block + recv_off[src_dev[remote], dst_dev[remote]] + within
 
-    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
-        pack_slab_bits, transpose_slab,
-    )
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import pack_slab_bits_t
 
     # --- per-device layout build ------------------------------------------
     per = []
@@ -189,11 +222,11 @@ def shard_graph_hybrid(
 
         # diagonal tier: block-local columns (transposed storage)
         if diag_b:
-            diag_bits = transpose_slab(pack_slab_bits(
+            diag_bits = pack_slab_bits_t(
                 s_l[dloc], (dst_g[dloc] % diag_b), block, diag_b
-            ))
+            )
         else:
-            diag_bits = np.zeros((0, block), dtype=np.uint32)
+            diag_bits = np.zeros((0, block), dtype=np.uint16)
 
         # hot tier: top-K table ids among off-diagonal edges
         od_cols = col_d[~dloc]
@@ -211,12 +244,12 @@ def shard_graph_hybrid(
             hot_col = np.full(table, -1, dtype=np.int64)
             hot_col[top] = np.arange(len(top))
             is_hot = hot_col[od_cols] >= 0
-            hot_bits = transpose_slab(pack_slab_bits(
+            hot_bits = pack_slab_bits_t(
                 od_rows[is_hot], hot_col[od_cols[is_hot]], block, hot_k
-            ))
+            )
         else:
             hot_ids = np.zeros(0, dtype=np.int32)
-            hot_bits = np.zeros((0, block), dtype=np.uint32)
+            hot_bits = np.zeros((0, block), dtype=np.uint16)
             is_hot = np.zeros(len(od_cols), dtype=bool)
 
         # both mask orientations travel: out-row-major for the CPU-mesh
@@ -232,18 +265,18 @@ def shard_graph_hybrid(
     m_max = _round_up(m_max, res_tile)
     t_max = max(t_max, m_max // res_tile)
     words = res_ob // 32
-    kw = hot_k // 32
-    dw = diag_b // 32
+    kw = hot_k // 16
+    dw = diag_b // 16
     n_blocks = block // res_ob
 
-    diag_bits = np.zeros((num_devices, dw, block), dtype=np.uint32)
+    diag_bits = np.zeros((num_devices, dw, block), dtype=np.uint16)
     hot_ids = np.zeros((num_devices, hot_k), dtype=np.int32)
-    hot_bits = np.zeros((num_devices, kw, block), dtype=np.uint32)
+    hot_bits = np.zeros((num_devices, kw, block), dtype=np.uint16)
     res_gather = np.zeros((num_devices, ug_max), dtype=np.int32)
     res_dst = np.zeros((num_devices, m_max), dtype=np.int32)
     res_mask = np.zeros((num_devices, words, m_max), dtype=np.uint32)
-    sw = res_tile // 32
-    res_mask_s = np.zeros((num_devices, sw, t_max * res_ob), dtype=np.uint32)
+    sw = res_tile // 16
+    res_mask_s = np.zeros((num_devices, sw, t_max * res_ob), dtype=np.uint16)
     res_t2b = np.full((num_devices, t_max), n_blocks - 1, dtype=np.int32)
     for d, (db, hi, hb, rg, rd_, rm, rms, rt) in enumerate(per):
         diag_bits[d, :, :] = db
@@ -284,4 +317,10 @@ def shard_graph_hybrid(
         degrees=deg_pad.reshape(num_devices, block),
         node_mask=mask.reshape(num_devices, block),
         halo_sizes=halo_sizes,
+        recv_max=recv_max,
+        send_flat=send_flat,
+        halo_in_off=halo_in_off,
+        halo_send_sizes=halo_send_sizes,
+        halo_out_off=halo_out_off,
+        halo_repack=halo_repack,
     )

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--classes", type=int, default=47)
     p.add_argument("--skip_reorder", action="store_true")
     p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--shard_devices", default="",
+                   help="comma list (e.g. 16,64): also build the sharded "
+                        "layout at these device counts and report the "
+                        "plan-build time + ragged-vs-dense exchange rows")
     args = p.parse_args(argv)
 
     from gnnadvisor_osdi21_tpu.utils.cache import enable_compile_cache
@@ -65,6 +69,27 @@ def main(argv=None) -> int:
         f"(pairs={hg.num_res_pairs:,} slots={hg.num_res_slots:,})",
         flush=True,
     )
+    # sharded-plan scaling: build the multi-chip layout at pod-ish device
+    # counts and report the exchange economics (the ragged plan ships
+    # Σ halo_sizes rows vs the uniform-Hmax plan's ndev·Hmax — round-3
+    # review item 4: skewed pairs after rabbit make the dense plan balloon)
+    for nd in [int(v) for v in args.shard_devices.split(",") if v]:
+        from gnnadvisor_osdi21_tpu.parallel.hybrid_partition import (
+            shard_graph_hybrid,
+        )
+
+        t0 = time.perf_counter()
+        sg = shard_graph_hybrid(g, num_devices=nd)
+        dense = sg.dense_exchange_rows
+        ragged = sg.ragged_exchange_rows
+        print(
+            f"shard plan nd={nd}: build {time.perf_counter()-t0:.1f}s | "
+            f"Hmax={sg.halo} dense all_to_all rows/dev={dense:,} "
+            f"ragged rows/dev={ragged:,} "
+            f"({dense / max(ragged, 1):.1f}x fewer bytes on the wire)",
+            flush=True,
+        )
+
     ht = build_hybrid_tensors(hg, transposed=True, agg_dtype="bfloat16")
 
     # single SpMM at dim 16 (the kernel-bench protocol shape)

@@ -200,6 +200,7 @@ def train_and_time(
             resume, params, opt_state
         )
 
+    disp_s = 0.0  # per-epoch dispatch correction (use_scan=False only)
     if use_scan:
         # the probe re-run below divides by dry_run to estimate epoch time
         # (and sizes the watchdog chunk from it): dry_run=0 would make the
@@ -246,6 +247,16 @@ def train_and_time(
             params, opt_state, loss = step(params, opt_state, x, y)
         final_loss = float(loss)
         train_s = time.perf_counter() - start
+        # The per-epoch dispatch loop carries this platform's fixed tunnel
+        # cost once per epoch (measured ~20 ms — a no-op step loop pays
+        # it too); calibrate it with the SAME loop structure and subtract,
+        # so study arms are comparable to the scan-mode roster rows
+        # (round-3 review item 7).  The reference's per-epoch loop pays
+        # only ~µs launches, so its numbers never needed this.
+        from gnnadvisor_osdi21_tpu.utils.timing import dispatch_floor
+
+        disp_s = dispatch_floor(iters=min(50, max(10, num_epochs)))
+        train_s = max(train_s - disp_s * num_epochs, 0.0)
 
     final_step = start_step + dry_run + num_epochs
     if save_ckpt:
@@ -255,6 +266,7 @@ def train_and_time(
 
     return {
         "epoch_ms": train_s * 1e3 / num_epochs,
+        "dispatch_ms": disp_s * 1e3,
         "warmup_s": warmup_s,
         "final_loss": final_loss,
         "num_epochs": num_epochs,

@@ -115,6 +115,31 @@ def chained_marginal_time(
     return marginal, fixed
 
 
+def dispatch_floor(iters: int = 50, reps: int = 3) -> float:
+    """Per-dispatch fixed cost of an async step loop (fence only at the
+    end) — what a per-epoch dispatch loop pays per epoch on this tunneled
+    platform even for a no-op step.  Used to print dispatch-corrected
+    per-epoch times for the ``use_scan=False`` study arms, making them
+    comparable to the scan-mode roster rows (the loop structure matches
+    train_and_time's: N enqueues, one host fetch at the end)."""
+
+    @jax.jit
+    def tiny(s):
+        return s + 1.0
+
+    s0 = jnp.float32(0)
+    float(tiny(s0))
+    best = float("inf")
+    for r in range(reps):
+        s = jnp.float32(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = tiny(s)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def roundtrip_overhead(reps: int = 5) -> float:
     """Calibrate the host→device→host latency of a trivial computation."""
 

@@ -246,3 +246,28 @@ def test_dist_transposed_kernel_branch_traces(monkeypatch):
     y = jnp.zeros(sg.num_devices * sg.block, jnp.int32)
     out = jax.eval_shape(loss_fn, params, garr, x, y)
     assert out.shape == ()
+
+
+def test_ragged_halo_plan_consistency():
+    """The ragged exchange plan (send_flat/offsets/repack) must describe
+    exactly the same rows as the dense send_idx plan, and the compact
+    table must be smaller than the uniform-Hmax one on skewed graphs."""
+    g = synthesize_graph(4096, 60000, num_features=8, kind="web", seed=11)
+    sg = shard_graph_hybrid(g, num_devices=4, diag_b=512, hot_k=512)
+    nd = sg.num_devices
+    sizes = sg.halo_sizes  # [receiver, sender]
+    assert sg.halo_send_sizes.T.tolist() == sizes.tolist()
+    for s in range(nd):
+        for r in range(nd):
+            n = int(sizes[r, s])
+            a = sg.send_flat[s, sg.halo_in_off[s, r]: sg.halo_in_off[s, r] + n]
+            b = sg.send_idx[s, r, :n]
+            assert a.tolist() == b.tolist()
+            # repack points the receiver's compact segment at the dense slot
+            off = int(sg.halo_out_off[s, r])
+            want = (s * sg.halo + np.arange(n)).tolist()
+            assert sg.halo_repack[r, off: off + n].tolist() == want
+    # compact table never exceeds the dense one, and each receiver's total
+    # matches its census
+    assert sg.recv_max <= nd * sg.halo
+    assert sg.ragged_exchange_rows <= sg.recv_max
