@@ -89,19 +89,25 @@ def _unpack_tile_t(bits_ref, shift_ref, dtype):
 def _unpack_tile_t16(bits_ref, pow2_ref, dtype):
     """Unpack a transposed [W16, TR] uint16 slab tile to [K, TR] 0/1.
 
-    The 16-bit twin of ``_unpack_tile_t`` and the one the transposed (v3)
-    kernels use: 16-bit lanes pack two cells per 32-bit VPU lane, so every
-    unpack op runs at 2x the uint32 throughput (measured: the residual
-    combine kernel drops 1.25 -> 0.64 ms on the amazon0505-scale stream,
-    2026-08-20).  Mosaic cannot legalize 16-bit shifts (arith.shrui), so
-    the bit test is shift-free: AND with a per-sublane power-of-two column
-    and select — column j lives in word j % W16 at bit j // W16, and
-    ``pow2_ref[j] = 1 << (j // W16)``."""
+    The 16-bit twin of ``_unpack_tile_t`` and the one every production
+    kernel uses: 16-bit lanes pack two cells per 32-bit VPU lane, so the
+    unpack runs at 2x the uint32 throughput (measured: residual combine
+    1.25 -> 0.64 ms on the amazon0505-scale stream, 2026-08-20).  The bit
+    test is shift-free — Mosaic (jax 0.9) cannot legalize 16-bit shifts
+    (arith.shrui) or mins (arith.minui): AND with the per-sublane
+    power-of-two column (column j lives in word j % W16 at bit j // W16,
+    ``pow2_ref[j] = 1 << (j // W16)``) + a bf16 select.  The select must
+    target bf16 even for the f32 path: the compare's i1 vector carries
+    the packed 16-bit layout, and selecting 32-bit values from it trips a
+    Mosaic relayout bug at wide K ("Invalid relayout ...
+    vector<4096x512xi1>"); measured variants at the residual shape:
+    bf16-select 0.64 ms, int16-sitofp 0.83, i1-astype 1.11, uint32 1.25."""
     words = pltpu.repeat(bits_ref[:], 16, axis=0)  # [K, TR] uint16
-    sel = (words & pow2_ref[:]) != jnp.uint16(0)
-    if dtype == jnp.float32:
-        return jnp.where(sel, jnp.float32(1), jnp.float32(0))
-    return jnp.where(sel, jnp.bfloat16(1), jnp.bfloat16(0))
+    a = jnp.where(
+        (words & pow2_ref[:]) != jnp.uint16(0),
+        jnp.bfloat16(1), jnp.bfloat16(0),
+    )
+    return a if dtype == jnp.bfloat16 else a.astype(dtype)
 
 
 def _pow2_col(k: int, w16: int):
