@@ -63,11 +63,23 @@ from gnnadvisor_osdi21_tpu.graphs.loader import GraphCSR
 # their pass time exceeds the gather stream.  The gather chain itself is
 # two dependent XLA gathers with a large fixed launch/ramp cost
 # (~0.7-1.1 ms per op, partially overlapping in context).
-SLAB_A_NS = 2.8  # fixed per-output-column cost of the transposed slab pass
-SLAB_B_NS = 0.001  # per (row, column) slot: VPU unpack + MXU dot
-GATHER_SLOT_NS = 1.74  # stage-2 marginal: one slot gather from the compact table
-GATHER_BIG_NS = 7.0  # stage-1 marginal: one unique-dst gather from full x
-RESID_FIX_NS = 1.6e6  # in-context fixed cost of the two-gather chain
+# Refit 2026-08-20 against the uint16 (v4) kernels (bf16 operands; diag
+# sweep 512/1024/2048 at amazon0505 scale + the 5-point residual
+# geometry grid, /tmp refit probes recorded in DESIGN.md §8):
+SLAB_A_NS = 0.44  # fixed per-output-column cost of the transposed slab pass
+SLAB_B_NS = 0.0008  # per (row, column) slab cell: VPU unpack + MXU dot
+RES_CELL_NS = 0.0013  # per (slot, out-row) combine cell (separate stream
+# pattern from the slab pass: mask tiles revisit output blocks)
+GATHER_SLOT_NS = 2.17  # stage-2 marginal: one slot gather from the compact table
+GATHER_BIG_NS = 6.8  # stage-1 marginal: one unique-dst gather from full x
+# In-context fixed costs of gather OPS.  Round 3's single-point timing
+# attributed ~1.6 ms of fixed cost to the residual chain; the round-4
+# two-point marginal decomposition shows the chain is almost pure
+# marginal (s1 0.55 + s2 0.75 ms at headline scale) — the old "fix" was
+# mostly the ~25 ms tunnel dispatch smeared over the rounds.  What
+# remains: a small per-op ramp, and the hot tier's own table gather op.
+RESID_FIX_NS = 1.5e5  # residual chain ramp
+HOT_FIX_NS = 2.0e5  # hot-table gather op ramp (charged when hot_k > 0)
 RESID_PAD_EST = 1.15  # slots / pairs (res_tile padding) at res_ob=1024
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
 # Bit slabs are stored transposed ([words, rows], spmm_pallas docstring),
@@ -290,15 +302,30 @@ def choose_tiers(
                 uniq_dst = nz_dst - (int(cum_nzdst[kk - 1]) if kk else 0)
             else:
                 uniq = uniq_dst = 0
+            slots_est = uniq * RESID_PAD_EST
             gathers = (
-                RESID_FIX_NS + GATHER_BIG_NS * uniq_dst + slot_ns * uniq
+                RESID_FIX_NS
+                + GATHER_BIG_NS * uniq_dst
+                + GATHER_SLOT_NS * slots_est
                 if uniq
                 else 0.0
             )
-            # partial overlap: the smaller stream hides under the larger
-            # one at ~50% efficiency (measured: full overlap at tuned
-            # tiers, but wide slabs leak back into the critical path)
-            cost = max(slab, gathers) + 0.5 * min(slab, gathers)
+            if k:
+                gathers += HOT_FIX_NS  # the hot table gather is its own op
+            combine = (
+                RES_CELL_NS * res_ob * slots_est
+                + RES_TILE_STEP_NS * slots_est / 256.0
+            ) if uniq else 0.0
+            # measured structure (marginal decomposition + 3-point tier A/B,
+            # 2026-08-20): the slab pallas pass (compute) hides under the
+            # gather DMA chain, but the overlap degrades quadratically as
+            # the two streams approach parity (wide slabs leak into the
+            # critical path: (1024,0)=2.12, (1024,512)=2.19,
+            # (2048,512)=2.50 ms measured vs 2.24/2.31/2.44 modeled); the
+            # dependent combine kernel then runs after the chain.
+            hi, lo = max(slab, gathers), min(slab, gathers)
+            leak = 0.5 * (lo / hi) ** 2 if hi > 0 else 0.0
+            cost = hi * (1.0 + leak) + combine
             if best is None or cost < best[0]:
                 best = (cost, b, k)
     if best is None:  # every candidate hit the memory cap: tiers off
@@ -320,19 +347,29 @@ def model_pipeline_ns(hg: "HybridGraph") -> dict:
         RESID_FIX_NS
         + GATHER_BIG_NS * len(hg.res_gather)
         + GATHER_SLOT_NS * hg.num_res_slots
+        + (HOT_FIX_NS if hg.hot_k else 0.0)
     ) if hg.num_res_slots else 0.0
-    total = max(slab, gathers) + 0.5 * min(slab, gathers)
+    combine = (
+        RES_CELL_NS * hg.num_res_slots * hg.res_ob
+        + RES_TILE_STEP_NS * len(hg.res_t2b)
+    ) if hg.num_res_slots else 0.0
+    # measured structure: the slab pass (compute) hides under the residual
+    # DMA chain with quadratic leak as the streams approach parity
+    # (choose_tiers), and the combine kernel runs after the chain
+    hi, lo = max(slab, gathers), min(slab, gathers)
+    total = (hi * (1.0 + 0.5 * (lo / hi) ** 2) if hi > 0 else 0.0) + combine
     return {
         "slab_ns": slab,
         "gather_ns": gathers,
+        "combine_ns": combine,
         "total_ns": total,
     }
 
 
 # residual-geometry candidates for the adaptive choice (choose_res_geometry)
-RES_OB_CANDIDATES = (1024, 2048, 4096, 8192, 16384)
+RES_OB_CANDIDATES = (512, 1024, 2048, 4096, 8192, 16384)
 RES_TILE_CANDIDATES = (128, 256)
-RES_TILE_STEP_NS = 500.0  # measured combine-kernel grid-step overhead
+RES_TILE_STEP_NS = 179.0  # measured combine-kernel grid-step overhead (v4)
 
 
 def choose_res_geometry(
@@ -366,7 +403,7 @@ def choose_res_geometry(
             slots = int((-(-counts_b // rt) * rt).sum())
             tiles = slots // rt
             cost = (
-                slots * (GATHER_SLOT_NS + SLAB_B_NS * ob)
+                slots * (GATHER_SLOT_NS + RES_CELL_NS * ob)
                 + tiles * RES_TILE_STEP_NS
                 + pad_rows * row_cost_ns
             )
