@@ -189,17 +189,19 @@ class InputProperty:
 
     def _auto_block_parts(self, slab_k: int, dim: int) -> int:
         # warpPerBlock/sharedMem analog: slab rows one Pallas grid step
-        # stages in VMEM.  Accounted per step: the unpacked 0/1 f32 matrix
-        # (rows·K·4 — the dominant scratch), double-buffered slab bits
-        # (2·rows·K/8), x tile (2·K·td·4), out tile (2·rows·td·4) — the
-        # analog of the CUDA kernel's three shared-memory buffers
-        # (GNNAdvisor_kernel.cu:345-347).  Power of two so it divides both
-        # the padded row count and any diagonal block.
+        # stages in VMEM.  Accounted per step for the v4 (uint16/bf16)
+        # kernels: the unpacked 0/1 bf16 matrix (rows·K·2 — the dominant
+        # scratch), double-buffered slab bits (2·rows·K/8 — u16 words,
+        # same bytes as the old u32), x tile (2·K·td·2 bf16), out tile
+        # (2·rows·td·4 f32 accumulator) — the analog of the CUDA kernel's
+        # three shared-memory buffers (GNNAdvisor_kernel.cu:345-347).
+        # Power of two so it divides both the padded row count and any
+        # diagonal block.
         if slab_k <= 0:
             return MAX_BLOCK_PARTS
         td = self._auto_feature_tile(dim)
-        budget = self.vmem_budget - 2 * slab_k * td * 4
-        per_row = slab_k * 4 + slab_k // 4 + td * 8
+        budget = self.vmem_budget - 2 * slab_k * td * 2
+        per_row = slab_k * 2 + slab_k // 4 + td * 8
         n = max(budget, 0) // per_row
         b = 64
         while b * 2 <= min(n, MAX_BLOCK_PARTS):

@@ -87,7 +87,8 @@ def test_hybrid_build_tensors_and_padding_roundtrip():
 
 def test_fused_slab_vmem_accounting_prices_both_slabs():
     """The fused pass unpacks diag AND hot slabs per grid step; block_parts
-    must leave room for their combined unpacked f32 width in VMEM."""
+    must leave room for their combined unpacked width in VMEM (v4 kernels:
+    bf16 one-hot matrices and bf16 x tiles, f32 accumulator tile)."""
     g = synthesize_graph(20000, 200000, num_features=16, kind="web", seed=1)
     prop = InputProperty(
         g, hidden_dim=16, method="hybrid", manual_mode=True,
@@ -96,8 +97,8 @@ def test_fused_slab_vmem_accounting_prices_both_slabs():
     bp = prop.layer_input.block_parts
     td = prop.layer_input.feature_tile
     combined = 4096 + 4096
-    unpacked = bp * combined * 4          # two 0/1 f32 matrices
+    unpacked = bp * combined * 2          # two 0/1 bf16 matrices
     bits = 2 * bp * combined // 8         # double-buffered slab bits
-    x_tiles = 2 * combined * td * 4
+    x_tiles = 2 * combined * td * 2
     out = 2 * bp * td * 4
     assert unpacked + bits + x_tiles + out <= prop.vmem_budget
