@@ -18,13 +18,13 @@ re-derived for TPU economics):
 
 1. **Diagonal tier**: rows keep their (rabbit-reordered) order; edges whose
    endpoints share a ``diag_b``-row block land in a per-block bit slab
-   ``diag_bits[R, B/32]``.  One Pallas matmul per row-block against the
+   ``diag_bits`` ([B/16, R] uint16).  One Pallas matmul per row-block against the
    block's own contiguous x slice — zero gathers.  Community reordering
    directly feeds this tier (67% of non-hub edges on an amazon0505-scale
    web graph), which is the TPU re-expression of the reference's locality
    thesis (rabbit_module/src/reorder.cpp:235-290).
 2. **Hot tier**: the top-K in-degree destinations among off-block edges
-   become a global bit slab ``hot_bits[R, K/32]`` against the gathered
+   become a global bit slab ``hot_bits`` ([K/16, R]) against the gathered
    ``x[hot_ids]`` table (K rows, one tiny gather).
 3. **Residual tier**: one gather slot per unique (``res_ob``-row output
    block, destination) pair — a multi-hot bitmask fans the gathered row

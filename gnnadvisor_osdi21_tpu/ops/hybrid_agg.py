@@ -41,13 +41,13 @@ class HybridTensors:
     row_mask: jax.Array  # [R] f32
     # bit arrays stored transposed ([words, rows/slots]) — see
     # spmm_pallas module docstring (128-lane minor-dim padding)
-    diag_bits: Optional[jax.Array]  # [B/32, R] uint32 or None
-    hot_bits: Optional[jax.Array]  # [K/32, R] uint32 or None
+    diag_bits: Optional[jax.Array]  # [B/16, R] uint16 or None
+    hot_bits: Optional[jax.Array]  # [K/16, R] uint16 or None
     hot_ids: Optional[jax.Array]  # [K] int32 or None
     res_gather: Optional[jax.Array]  # [Ud] int32 unique dst rows (stage 1)
     res_dst: Optional[jax.Array]  # [M_pad] int32 into res_gather (stage 2)
     res_mask: Optional[jax.Array]  # [res_ob/32, M_pad] uint32 multi-hot
-    res_mask_s: Optional[jax.Array]  # [res_tile/32, T*res_ob] slot-major
+    res_mask_s: Optional[jax.Array]  # [res_tile/16, T*res_ob] uint16 slot-major
     res_t2b: Optional[jax.Array]  # [T] int32 tile -> out-block
     # static layout
     num_rows: int = 0
