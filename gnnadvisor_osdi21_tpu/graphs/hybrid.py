@@ -72,13 +72,23 @@ RES_CELL_NS = 0.0013  # per (slot, out-row) combine cell (separate stream
 # pattern from the slab pass: mask tiles revisit output blocks)
 GATHER_SLOT_NS = 2.17  # stage-2 marginal: one slot gather from the compact table
 GATHER_BIG_NS = 6.8  # stage-1 marginal: one unique-dst gather from full x
-# In-context fixed costs of gather OPS.  Round 3's single-point timing
-# attributed ~1.6 ms of fixed cost to the residual chain; the round-4
-# two-point marginal decomposition shows the chain is almost pure
-# marginal (s1 0.55 + s2 0.75 ms at headline scale) — the old "fix" was
-# mostly the ~25 ms tunnel dispatch smeared over the rounds.  What
-# remains: a small per-op ramp, and the hot tier's own table gather op.
-RESID_FIX_NS = 1.5e5  # residual chain ramp
+# In-context fixed costs of gather OPS.  The two-point marginal harness
+# shows the chained-SpMM fixed cost is small (~0.15 ms), but inside a
+# full training epoch each gather op still carries a real per-op ramp
+# (round-3 in-context fit: 0.7-1.6 ms; round-4 A/B: dropping this to
+# 0.15 ms flipped small graphs residual-heavy and regressed the Type
+# I/ppi roster rows 1.5-2x while Type II improved — the epoch context
+# pays the ramp, the chained kernel bench mostly hides it).  1.0 ms
+# keeps the small-graph tier choices of round 3 without disturbing the
+# headline pick (amazon stays diag-1024/hot-0 — verified by bench).
+RESID_FIX_NS = 1.0e6  # residual chain in-context ramp
+# Calibrated conservative: the amazon A/B says hot must NOT pay there
+# (hot-512 measured +0.074 ms net), and lowering the ramp to let ppi's
+# measured optimum (1024,512) win also un-gates (2048,2048), which
+# measures 6.97 vs 5.57 ms on ppi — the model cannot rank within the
+# hot-on family at small scale, so the ramp stays high and ppi runs
+# ~11% off its best-known manual config (RESULTS.md notes it; the
+# reference's manual mode covers exactly this).
 HOT_FIX_NS = 2.0e5  # hot-table gather op ramp (charged when hot_k > 0)
 RESID_PAD_EST = 1.15  # slots / pairs (res_tile padding) at res_ob=1024
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
@@ -320,11 +330,13 @@ def choose_tiers(
             # 2026-08-20): the slab pallas pass (compute) hides under the
             # gather DMA chain, but the overlap degrades quadratically as
             # the two streams approach parity (wide slabs leak into the
-            # critical path: (1024,0)=2.12, (1024,512)=2.19,
-            # (2048,512)=2.50 ms measured vs 2.24/2.31/2.44 modeled); the
-            # dependent combine kernel then runs after the chain.
+            # critical path: headline A/B measured (1024,0)=2.12 <
+            # (1024,512)=2.19 < (2048,512)=2.50 ms, and the unit-leak
+            # coefficient is what keeps that ordering once the in-context
+            # RESID_FIX dominates the gather arm); the dependent combine
+            # kernel then runs after the chain.
             hi, lo = max(slab, gathers), min(slab, gathers)
-            leak = 0.5 * (lo / hi) ** 2 if hi > 0 else 0.0
+            leak = (lo / hi) ** 2 if hi > 0 else 0.0
             cost = hi * (1.0 + leak) + combine
             if best is None or cost < best[0]:
                 best = (cost, b, k)
@@ -357,7 +369,7 @@ def model_pipeline_ns(hg: "HybridGraph") -> dict:
     # DMA chain with quadratic leak as the streams approach parity
     # (choose_tiers), and the combine kernel runs after the chain
     hi, lo = max(slab, gathers), min(slab, gathers)
-    total = (hi * (1.0 + 0.5 * (lo / hi) ** 2) if hi > 0 else 0.0) + combine
+    total = (hi * (1.0 + (lo / hi) ** 2) if hi > 0 else 0.0) + combine
     return {
         "slab_ns": slab,
         "gather_ns": gathers,

@@ -184,8 +184,10 @@ def test_choose_tiers_sampled_census_is_fast():
     elapsed = time.perf_counter() - t0
     # ~4s unloaded on this 4-core box; generous bound so concurrent bench
     # campaigns sharing the cores don't flake the suite (the pre-sampling
-    # exact census took minutes at this scale, so the bound still bites)
-    assert elapsed < 45.0, f"sampled census took {elapsed:.1f}s"
+    # exact census took MINUTES at this scale, so the bound still bites —
+    # 90s allows a fully contended box, observed once at 45-50s under a
+    # parallel campaign)
+    assert elapsed < 90.0, f"sampled census took {elapsed:.1f}s"
     assert diag_b in (0, 512, 1024, 2048, 4096)
     assert hot_k in (0, 512, 1024, 2048, 4096)
 
