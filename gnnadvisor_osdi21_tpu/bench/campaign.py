@@ -198,13 +198,23 @@ def main(argv=None) -> int:
         _assemble(quick)
         return 0
     only = None
+    study_filter = None
     if "--only" in argv:
         idx = argv.index("--only") + 1
-        if idx >= len(argv) or argv[idx] not in ("roster", "studies"):
-            print("usage: campaign [--quick] [--smoke] [--only roster|studies]"
-                  " [--assemble-only]")
+        ok = idx < len(argv) and (
+            argv[idx] in ("roster", "studies")
+            or argv[idx].startswith("studies:")
+        )
+        if not ok:
+            print("usage: campaign [--quick] [--smoke] [--only roster|"
+                  "studies[:name,name]] [--assemble-only]")
             return 2
         only = argv[idx]
+        if only.startswith("studies:"):
+            # e.g. --only studies:partsize,reorder — run a subset of the
+            # study grids (chip-time budgeting on slow-compile days)
+            study_filter = set(only.split(":", 1)[1].split(","))
+            only = "studies"
     os.makedirs(RUN_DIR, exist_ok=True)
     # record our PID so bench.py's _quiesce_campaign can stop exactly this
     # driver (never a pattern match) before taking the chip; anchored at
@@ -221,7 +231,9 @@ def main(argv=None) -> int:
             for tag, _model, cmd in roster_configs(quick):
                 _run_one(tag, cmd)
         if only in (None, "studies"):
-            for tag, _study, cmd, _hdr in study_configs(quick):
+            for tag, study, cmd, _hdr in study_configs(quick):
+                if study_filter and study not in study_filter:
+                    continue
                 _run_one(tag, cmd)
     finally:
         try:
