@@ -277,3 +277,31 @@ def test_residual_combine_t_feature_grid():
     visited[res_t2b] = True
     vis = np.repeat(visited, res_ob)
     np.testing.assert_allclose(got[:, vis], want[vis].T, rtol=1e-4, atol=1e-4)
+
+
+def test_slab_matmul_t_wide_hot_k4096_both_dtypes():
+    """K=4096 is the shape family where Mosaic (jax 0.9) rejected the
+    f32-select unpack ("Invalid relayout ... vector<4096x512xi1>") — the
+    unpack must select bf16 and cast.  Guard the logic at this width in
+    interpret mode for BOTH dtypes (the lowering itself was verified on
+    hardware at 1e-8/1.7e-7 rel err, 2026-08-20)."""
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.ops.spmm_pallas import slab_matmul_t
+
+    rng = np.random.default_rng(5)
+    r, k, d = 1024, 4096, 16
+    e = 20000
+    rows = rng.integers(0, r, e)
+    cols = rng.integers(0, k, e)
+    bits = pack_slab_bits(rows, cols, r, k)
+    dense = unpack_slab(bits, k)
+    x = rng.standard_normal((k, d)).astype(np.float32)
+    for dt, tol in ((np.float32, 1e-4), (jnp.bfloat16, 3e-2)):
+        xt = jnp.asarray(x.T.copy()).astype(dt)
+        got = np.asarray(slab_matmul_t(
+            transpose_slab(bits), xt, block_cols=512, feature_tile=128,
+            interpret=True,
+        ))
+        want = (dense @ np.asarray(xt, dtype=np.float32).T).T
+        assert np.abs(got - want).max() / np.abs(want).max() < tol
