@@ -31,9 +31,16 @@ def main(argv=None) -> int:
     from jax.experimental.pallas import tpu as pltpu
 
     from gnnadvisor_osdi21_tpu.ops.spmm_pallas import (
-        pack_slab_bits, transpose_slab, _unpack_tile_t,
+        pack_slab_bits, _unpack_tile_t,
     )
     from gnnadvisor_osdi21_tpu.utils.timing import chained_device_time
+
+    # Legacy uint32 transposed layout for the _unpack_tile_t comparison arm:
+    # pack_slab_bits is bit-major [R, K/32], and the legacy device layout was
+    # literally its transpose ([K/32, R] uint32).  transpose_slab now emits
+    # the production uint16 layout, which this probe's kernel does not read.
+    def _transpose_u32(b):
+        return np.ascontiguousarray(b.T)
 
     r = 409_600
     k = 512
@@ -41,7 +48,7 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(0)
     rows_e = rng.integers(0, r, size=8 * r)
     cols_e = rng.integers(0, k, size=8 * r)
-    bits = jnp.asarray(transpose_slab(pack_slab_bits(rows_e, cols_e, r, k)))
+    bits = jnp.asarray(_transpose_u32(pack_slab_bits(rows_e, cols_e, r, k)))
     a8 = np.zeros((k, r), dtype=np.int8)
     a8[cols_e, rows_e] = 1
     a8 = jnp.asarray(a8)
@@ -114,7 +121,7 @@ def main(argv=None) -> int:
     for ks in (128, 512, 1024, 2048, 4096):
         rows_s = rng.integers(0, r, size=8 * r)
         cols_s = rng.integers(0, ks, size=8 * r)
-        bits_s = jnp.asarray(transpose_slab(pack_slab_bits(rows_s, cols_s, r, ks)))
+        bits_s = jnp.asarray(_transpose_u32(pack_slab_bits(rows_s, cols_s, r, ks)))
         x_t = jnp.ones((16, ks), jnp.bfloat16)
         for br_ in (2048, 4096, 8192):
             if ks * br_ * 2 > 12 << 20:

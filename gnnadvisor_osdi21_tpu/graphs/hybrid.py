@@ -355,12 +355,16 @@ def model_pipeline_ns(hg: "HybridGraph") -> dict:
         SLAB_A_NS + SLAB_B_NS * slab_cols
         + (slab_cols // 8) / HBM_BYTES_PER_NS
     ) if slab_cols else 0.0
+    # HOT_FIX_NS is charged whenever the hot tier exists, independent of
+    # the residual branch — keeping this model in lockstep with
+    # choose_tiers' internal cost for hot-only layouts (ADVICE r4)
     gathers = (
         RESID_FIX_NS
         + GATHER_BIG_NS * len(hg.res_gather)
         + GATHER_SLOT_NS * hg.num_res_slots
-        + (HOT_FIX_NS if hg.hot_k else 0.0)
     ) if hg.num_res_slots else 0.0
+    if hg.hot_k:
+        gathers += HOT_FIX_NS
     combine = (
         RES_CELL_NS * hg.num_res_slots * hg.res_ob
         + RES_TILE_STEP_NS * len(hg.res_t2b)

@@ -112,6 +112,10 @@ def _unpack_tile_t16(bits_ref, pow2_ref, dtype):
 
 def _pow2_col(k: int, w16: int):
     """[K, 1] uint16 bit-test column for ``_unpack_tile_t16``."""
+    # uint16 arange wraps silently at 65536; auto tier choice caps K at
+    # 4096 but manual_mode accepts arbitrary widths — fail loudly instead
+    # of producing wrong bit masks (ADVICE r4)
+    assert k < 65536, f"slab width {k} overflows the uint16 bit-test layout"
     return (
         jnp.uint16(1) << (jnp.arange(k, dtype=jnp.uint16) // jnp.uint16(w16))
     )[:, None]

@@ -148,7 +148,7 @@ def _dist_tiers_t(
     # the same numerics production runs) — and casting *before* the halo
     # exchange halves the all_to_all bytes at bf16
     x_t = x_t.astype(ht.agg_dtype)
-    table_t = _halo_exchange_ragged_t(x_t, g)
+    table_t = _halo_exchange_ragged_t(x_t, g, recv_max=sg.recv_max)
     if _on_tpu():
         out = _dist_tiers_kernels_t(x_t, table_t, ht, sg, overlap)
     else:
@@ -229,24 +229,30 @@ def _graph_specs(sg: HybridShardedGraph):
         "res_gather": P(GRAPH_AXIS, None),
         "res_dst": P(GRAPH_AXIS, None),
         "res_t2b": P(GRAPH_AXIS, None),
-        # ragged exchange plan (dist_ops._halo_exchange_ragged_t): the TPU
-        # path reads send_flat + offsets/sizes, the CPU-mesh emulation
-        # reads send_idx + halo_repack — all halo-scale, ship both
-        "send_flat": P(GRAPH_AXIS, None),
-        "halo_in_off": P(GRAPH_AXIS, None),
-        "halo_send_sizes": P(GRAPH_AXIS, None),
-        "halo_out_off": P(GRAPH_AXIS, None),
-        "halo_sizes": P(GRAPH_AXIS, None),
-        "send_idx": P(GRAPH_AXIS, None, None),
-        "halo_repack": P(GRAPH_AXIS, None),
     }
-    # ship only the mask orientation the backend's kernels read — the two
-    # twins are equal-sized, and holding both wastes ~words*M_pad*4 bytes
-    # of HBM per device at scale
+    # Ship only the plan arrays and mask orientation the backend actually
+    # reads (VERDICT r4 item 8: both plans used to travel in every run).
+    # TPU (jax.lax.ragged_all_to_all): the sender-side flat gather list +
+    # offset/size tables — all O(halo + ndev²).  CPU mesh (dense
+    # all_to_all + static repack emulation): the dense send_idx
+    # ([ndev, ndev, Hmax] — the largest plan array once pair sizes skew)
+    # + the dense->ragged repack map.  Mask twins are equal-sized; holding
+    # both wastes ~words·M_pad·4 bytes of HBM per device at scale.
     if _on_tpu():
-        specs["res_mask_s"] = P(GRAPH_AXIS, None, None)
+        specs.update({
+            "send_flat": P(GRAPH_AXIS, None),
+            "halo_in_off": P(GRAPH_AXIS, None),
+            "halo_send_sizes": P(GRAPH_AXIS, None),
+            "halo_out_off": P(GRAPH_AXIS, None),
+            "halo_sizes": P(GRAPH_AXIS, None),
+            "res_mask_s": P(GRAPH_AXIS, None, None),
+        })
     else:
-        specs["res_mask"] = P(GRAPH_AXIS, None, None)
+        specs.update({
+            "send_idx": P(GRAPH_AXIS, None, None),
+            "halo_repack": P(GRAPH_AXIS, None),
+            "res_mask": P(GRAPH_AXIS, None, None),
+        })
     if sg.diag_b:
         specs["diag_bits"] = P(GRAPH_AXIS, None, None)
     if sg.hot_k:

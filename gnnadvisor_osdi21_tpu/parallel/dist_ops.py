@@ -34,42 +34,43 @@ from gnnadvisor_osdi21_tpu.parallel.partition import ShardedGraph
 from gnnadvisor_osdi21_tpu.train import build_model
 
 
-def _halo_exchange(x_local: jax.Array, send_idx_local: jax.Array) -> jax.Array:
-    """One all_to_all: returns the full gather table [B + ndev·H, D].
+def _halo_exchange_ragged(
+    x_local: jax.Array, g: dict, recv_max: int | None = None
+) -> jax.Array:
+    """Row-major exact-size halo exchange: gather table ``[B + recv_max, D]``
+    packing each receiver's halo compactly (segments in sender order) — the
+    layout ``ShardedGraph``'s remapped ``bnd_cols`` index.  Rows lead, so
+    ``jax.lax.ragged_all_to_all`` (leading-dim ragged) needs no transposes
+    at all; the CPU mesh (no ragged lowering in XLA:CPU, jax 0.9) validates
+    the same table layout by dense exchange + a static repack gather."""
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
 
-    ``send_idx_local`` [ndev, H]: rows this device ships to each peer.
-    After the exchange, row ``block + src·H + k`` of the table is row
-    ``send_idx[src, me, k]`` of device ``src`` — the layout the remapped
-    ``part_cols`` index into.
-    """
-    ndev, halo = send_idx_local.shape
+    r_max = recv_max if recv_max is not None else g["halo_repack"].shape[0]
+    if _on_tpu():
+        send = jnp.take(x_local, g["send_flat"], axis=0, mode="clip")
+        out = jnp.zeros((r_max, x_local.shape[1]), x_local.dtype)
+        recv = jax.lax.ragged_all_to_all(
+            send, out,
+            g["halo_in_off"], g["halo_send_sizes"],
+            g["halo_out_off"], g["halo_sizes"],
+            axis_name=GRAPH_AXIS,
+        )
+        return jnp.concatenate([x_local, recv], axis=0)
+    ndev, halo = g["send_idx"].shape[:2]
     send_buf = jnp.take(
-        x_local, send_idx_local.reshape(-1), axis=0, mode="clip"
+        x_local, g["send_idx"].reshape(-1), axis=0, mode="clip"
     ).reshape(ndev, halo, -1)
     recv = jax.lax.all_to_all(
         send_buf, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(ndev * halo, -1)
+    return jnp.concatenate(
+        [x_local, jnp.take(recv, g["halo_repack"], axis=0)], axis=0
     )
-    return jnp.concatenate([x_local, recv.reshape(ndev * halo, -1)], axis=0)
 
 
-def _halo_exchange_t(x_t: jax.Array, send_idx_local: jax.Array) -> jax.Array:
-    """Transposed twin of ``_halo_exchange``: the gather table in the v3
-    feature layout ``[D, B + ndev*H]`` (graph rows on lanes).  Same wire
-    layout — after the exchange, lane ``block + src*H + k`` is row
-    ``send_idx[src, me, k]`` of device ``src`` — so the remapped
-    ``part_cols``/tier indices are orientation-agnostic."""
-    ndev, halo = send_idx_local.shape
-    d = x_t.shape[0]
-    send_buf = jnp.take(
-        x_t, send_idx_local.reshape(-1), axis=1, mode="clip"
-    ).reshape(d, ndev, halo)
-    recv = jax.lax.all_to_all(
-        send_buf, GRAPH_AXIS, split_axis=1, concat_axis=1, tiled=True
-    )
-    return jnp.concatenate([x_t, recv.reshape(d, ndev * halo)], axis=1)
-
-
-def _halo_exchange_ragged_t(x_t: jax.Array, g: dict) -> jax.Array:
+def _halo_exchange_ragged_t(
+    x_t: jax.Array, g: dict, recv_max: int | None = None
+) -> jax.Array:
     """Exact-size halo exchange in the transposed layout: the gather table
     ``[D, B + recv_max]`` packs each receiver's halo compactly (segments in
     sender order), shipping Σ halo_sizes rows per device instead of the
@@ -87,7 +88,10 @@ def _halo_exchange_ragged_t(x_t: jax.Array, g: dict) -> jax.Array:
     from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
 
     d = x_t.shape[0]
-    r_max = g["halo_repack"].shape[0]
+    # only the backend's own plan arrays travel (dist_hybrid._graph_specs),
+    # so the table halo span comes from the caller's static layout on TPU
+    # and from the repack map's length on the CPU mesh
+    r_max = recv_max if recv_max is not None else g["halo_repack"].shape[0]
     if _on_tpu():
         send = jnp.take(
             x_t, g["send_flat"], axis=1, mode="clip"
@@ -135,12 +139,13 @@ def _local_part_reduce(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def dist_aggregate(
     x_local: jax.Array,
     g: dict,
     block: int,
     norm: bool,
+    recv_max: int | None = None,
 ) -> jax.Array:
     """out[s] = Σ_d w_sd · x[d] with the halo exchange; runs inside shard_map.
 
@@ -151,21 +156,25 @@ def dist_aggregate(
     halo lands.  Owners are sorted within each class, so both partials use
     the fast sorted segment-sum and add exactly.
 
+    ``recv_max``: the compact table's halo span (``ShardedGraph.recv_max``)
+    — required on TPU, where the ragged exchange plan carries no
+    recv-shaped array.
+
     Custom VJP: the global operator is symmetric (undirected graphs), so
     the adjoint is the same distributed aggregation applied to the
     cotangent — no scatter-add adjoints of the gathers, and the adjoint
     all_to_all is just the forward exchange re-run.
     """
-    return _dist_ell_body(x_local, g, block, norm)
+    return _dist_ell_body(x_local, g, block, norm, recv_max)
 
 
-def _dist_ell_body(x_local, g, block, norm):
+def _dist_ell_body(x_local, g, block, norm, recv_max=None):
     if norm:
         x_local = x_local * g["degrees"][:, None].astype(x_local.dtype)
     out = _local_part_reduce(
         x_local, g["int_cols"], g["int_lens"], g["int2local"], block
     )
-    table = _halo_exchange(x_local, g["send_idx"])
+    table = _halo_exchange_ragged(x_local, g, recv_max=recv_max)
     out = out + _local_part_reduce(
         table, g["bnd_cols"], g["bnd_lens"], g["bnd2local"], block
     )
@@ -174,14 +183,14 @@ def _dist_ell_body(x_local, g, block, norm):
     return out
 
 
-def _dist_ell_fwd(x_local, g, block, norm):
-    return _dist_ell_body(x_local, g, block, norm), g
+def _dist_ell_fwd(x_local, g, block, norm, recv_max):
+    return _dist_ell_body(x_local, g, block, norm, recv_max), g
 
 
-def _dist_ell_bwd(block, norm, g, ct):
+def _dist_ell_bwd(block, norm, recv_max, g, ct):
     from gnnadvisor_osdi21_tpu.ops.aggregate import _zero_cotangent
 
-    return _dist_ell_body(ct, g, block, norm), _zero_cotangent(g)
+    return _dist_ell_body(ct, g, block, norm, recv_max), _zero_cotangent(g)
 
 
 dist_aggregate.defvjp(_dist_ell_fwd, _dist_ell_bwd)
@@ -224,17 +233,35 @@ def model_apply_with_agg(
 
 
 def _graph_specs():
-    return {
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
+
+    specs = {
         "int_cols": P(GRAPH_AXIS, None, None),
         "int_lens": P(GRAPH_AXIS, None),
         "int2local": P(GRAPH_AXIS, None),
         "bnd_cols": P(GRAPH_AXIS, None, None),
         "bnd_lens": P(GRAPH_AXIS, None),
         "bnd2local": P(GRAPH_AXIS, None),
-        "send_idx": P(GRAPH_AXIS, None, None),
         "degrees": P(GRAPH_AXIS, None),
         "node_mask": P(GRAPH_AXIS, None),
     }
+    # only the backend's own exchange plan travels (_halo_exchange_ragged):
+    # the dense [ndev, ndev, Hmax] send_idx is the largest plan array once
+    # pair sizes skew, and only the CPU-mesh emulation reads it
+    if _on_tpu():
+        specs.update({
+            "send_flat": P(GRAPH_AXIS, None),
+            "halo_in_off": P(GRAPH_AXIS, None),
+            "halo_send_sizes": P(GRAPH_AXIS, None),
+            "halo_out_off": P(GRAPH_AXIS, None),
+            "halo_sizes": P(GRAPH_AXIS, None),
+        })
+    else:
+        specs.update({
+            "send_idx": P(GRAPH_AXIS, None, None),
+            "halo_repack": P(GRAPH_AXIS, None),
+        })
+    return specs
 
 
 def device_graph_arrays(sg: ShardedGraph, mesh: Mesh) -> dict:
@@ -268,7 +295,9 @@ def make_dist_loss_fn(mesh: Mesh, sg: ShardedGraph, model: str) -> Callable:
         # Graph arrays are stacked [ndev, ...]; the local shard has a
         # leading axis of size 1 — drop it.
         g = {k: v[0] for k, v in g.items()}
-        agg = lambda h, norm: dist_aggregate(h, g, block, norm=norm)
+        agg = lambda h, norm: dist_aggregate(
+            h, g, block, norm, sg.recv_max
+        )
         log_probs = model_apply_with_agg(model, params, x_blk, agg)
         nll = -jnp.take_along_axis(
             log_probs, y_blk[:, None].astype(jnp.int32), axis=1

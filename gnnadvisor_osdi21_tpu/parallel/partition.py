@@ -55,11 +55,24 @@ class ShardedGraph:
     send_idx: np.ndarray  # [ndev, ndev, Hmax] int32 — rows to ship
     degrees: np.ndarray  # [ndev, B] f32 sqrt-degrees of owned rows
     node_mask: np.ndarray  # [ndev, B] f32 — 1 for real nodes, 0 for padding
+    # --- ragged exchange plan (same contract as HybridShardedGraph) ------
+    # ``bnd_cols`` index the COMPACT table [x_local ; ragged recv] — each
+    # receiver's halo packs contiguously in sender order instead of
+    # striding every pair to the fleet-wide Hmax.  TPU ships exact bytes
+    # via jax.lax.ragged_all_to_all; the CPU mesh emulates the same table
+    # layout over a dense all_to_all + ``halo_repack`` gather.
+    halo_sizes: np.ndarray | None = None  # [ndev(r), ndev(s)] int32
+    recv_max: int = 0  # padded max Σ_s halo_sizes[r, s]
+    send_flat: np.ndarray | None = None  # [ndev, Smax] sender gather list
+    halo_in_off: np.ndarray | None = None  # [ndev(s), ndev(r)] send offsets
+    halo_send_sizes: np.ndarray | None = None  # [ndev(s), ndev(r)]
+    halo_out_off: np.ndarray | None = None  # [ndev(s), ndev(r)] recv offsets
+    halo_repack: np.ndarray | None = None  # [ndev(r), recv_max] dense->ragged
 
     @property
     def table_rows(self) -> int:
         """Rows in each device's gather table: local block + received halo."""
-        return self.block + self.num_devices * self.halo
+        return self.block + self.recv_max
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,16 +128,46 @@ def shard_graph(
         need.append(row)
     h_max = _round_up(h_max, pad_halo_to)
 
+    # --- exchange plans ---------------------------------------------------
+    # halo_sizes[r, s] = unique rows receiver r needs from sender s; the
+    # COMPACT table packs each receiver's halo in sender order (exclusive-
+    # cumsum offsets), so the wire ships Σ_s sizes[r, s] rows per device
+    # instead of the dense plan's ndev·Hmax (VERDICT r4 item 8: the ELL
+    # path used to pad every pair to uniform Hmax).
+    halo_sizes = np.array(
+        [[len(need[d][s]) for s in range(num_devices)] for d in range(num_devices)],
+        dtype=np.int32,
+    )
+    recv_off = np.zeros((num_devices, num_devices), dtype=np.int32)
+    recv_off[:, 1:] = np.cumsum(halo_sizes, axis=1)[:, :-1]
+    recv_max = _round_up(max(int(halo_sizes.sum(axis=1).max(initial=0)), 1),
+                         pad_halo_to)
+    send_per = halo_sizes.sum(axis=0)
+    s_max = _round_up(max(int(send_per.max(initial=0)), 1), pad_halo_to)
+    halo_send_sizes = np.ascontiguousarray(halo_sizes.T)  # [s, r]
+    halo_in_off = np.zeros((num_devices, num_devices), dtype=np.int32)
+    halo_in_off[:, 1:] = np.cumsum(halo_send_sizes, axis=1)[:, :-1]
+    halo_out_off = np.ascontiguousarray(recv_off.T)  # [s, r] -> recv_off[r, s]
+
     send_idx = np.zeros((num_devices, num_devices, h_max), dtype=np.int32)
+    send_flat = np.zeros((num_devices, s_max), dtype=np.int32)
+    halo_repack = np.zeros((num_devices, recv_max), dtype=np.int32)
     for d in range(num_devices):
         for src in range(num_devices):
             ids = need[d][src]
+            nh = len(ids)
             # device `src` ships rows ids - src*block to device d
-            send_idx[src, d, : len(ids)] = (ids - src * block).astype(np.int32)
+            loc = (ids - src * block).astype(np.int32)
+            send_idx[src, d, :nh] = loc
+            send_flat[src, halo_in_off[src, d]: halo_in_off[src, d] + nh] = loc
+            halo_repack[d, recv_off[d, src]: recv_off[d, src] + nh] = (
+                src * h_max + np.arange(nh, dtype=np.int32)
+            )
 
-    # Remap part_cols to the receiver's gather table [x_local ; recv].
-    # recv layout after all_to_all: recv[src, k] = x_src[send_idx[src, d, k]],
-    # flattened to rows block + src*h_max + k.  Parts split interior/boundary.
+    # Remap part_cols to the receiver's COMPACT gather table
+    # [x_local ; ragged recv]: the halo row of id k from sender `src` lands
+    # at table row block + recv_off[d, src] + rank(k within need[d][src]).
+    # Parts split interior/boundary.
     per_dev = []  # (int_(cols,lens,p2l), bnd_(cols,lens,p2l))
     pi_max = pb_max = 1
     for d in range(num_devices):
@@ -142,7 +185,7 @@ def shard_graph(
             if not sel.any():
                 continue
             pos = np.searchsorted(need[d][src], dcols[sel])
-            remapped[sel] = block + src * h_max + pos
+            remapped[sel] = block + recv_off[d, src] + pos
         valid_slots = np.arange(part_size)[None, :] < dlens[:, None]
         # padding slots (beyond each part's length) must stay in local
         # range: jnp.take's default OOB mode is fill-with-NaN, and NaN*0
@@ -198,4 +241,11 @@ def shard_graph(
         send_idx=send_idx,
         degrees=deg_pad.reshape(num_devices, block),
         node_mask=mask.reshape(num_devices, block),
+        halo_sizes=halo_sizes,
+        recv_max=recv_max,
+        send_flat=send_flat,
+        halo_in_off=halo_in_off,
+        halo_send_sizes=halo_send_sizes,
+        halo_out_off=halo_out_off,
+        halo_repack=halo_repack,
     )
