@@ -72,6 +72,15 @@ RES_CELL_NS = 0.0013  # per (slot, out-row) combine cell (separate stream
 # pattern from the slab pass: mask tiles revisit output blocks)
 GATHER_SLOT_NS = 2.17  # stage-2 marginal: one slot gather from the compact table
 GATHER_BIG_NS = 6.8  # stage-1 marginal: one unique-dst gather from full x
+# Single-stage formulation: one gather of ALL slots from full x
+# (res_gather[res_dst] precomposed host-side).  Its effective per-slot
+# rate beats even the compact-table stage-2 rate — the slot indices are
+# block-sorted with duplicates, which the gather engine exploits — and
+# the chain drops one op's ramp.  Fit r5 against the 8-graph single-stage
+# A/B (DESIGN.md §10): 2.1 ns/slot reproduces the measured totals within
+# ~7% mean error across artist/soc/ppi/com-amazon/amazon0505/amazon0601/
+# OVCAR/TWITTER (tables up to 1.9M rows).
+GATHER_SINGLE_NS = 2.1
 # In-context fixed costs of gather OPS.  The two-point marginal harness
 # shows the chained-SpMM fixed cost is small (~0.15 ms), but inside a
 # full training epoch each gather op still carries a real per-op ramp
@@ -90,6 +99,13 @@ RESID_FIX_NS = 1.0e6  # residual chain in-context ramp
 # ~11% off its best-known manual config (RESULTS.md notes it; the
 # reference's manual mode covers exactly this).
 HOT_FIX_NS = 2.0e5  # hot-table gather op ramp (charged when hot_k > 0)
+# In-context ramp attributable to the residual chain's SECOND gather op
+# (stage 2), i.e. what collapsing to a single-stage gather saves; the
+# remainder of RESID_FIX_NS (launch of the chain itself) is paid either
+# way.  Fit r5 (DESIGN.md §10): the chained-context single-stage chain
+# carries almost no fixed cost, so most of RESID_FIX_NS is attributed to
+# the dropped op; what stays gates tiers conservatively in epoch context.
+RES_STAGE2_FIX_NS = 7.5e5
 RESID_PAD_EST = 1.15  # slots / pairs (res_tile padding) at res_ob=1024
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
 # Bit slabs are stored transposed ([words, rows], spmm_pallas docstring),
@@ -160,6 +176,12 @@ class HybridGraph:
     # writes every output row and the caller skips the visited-block
     # select (a full [D, R] read+write pass — 1+ ms at Type II scale)
     res_covers_all: bool = False
+    # True when the priced slot stream is short enough that ONE gather
+    # from full x (res_gather[res_dst] precomposed) beats the two-stage
+    # compact-then-feed chain: the full-table per-row premium costs less
+    # than the dropped gather op's in-context ramp (DESIGN.md §8 win
+    # condition; the small-graph regime where per-op ramps dominate)
+    res_single: bool = False
 
     # identity maps kept for API parity with relabeling layouts
     @property
@@ -219,7 +241,29 @@ def choose_tiers(
     diag_b: int | None = None,
     res_ob: int = 1024,
 ) -> tuple[int, int]:
-    """Jointly pick (diag_b, hot_k) minimizing the measured pipeline cost
+    """Model-ranked tier choice: ``rank_tiers(...)[0]`` (see there)."""
+    ranked = rank_tiers(src, dst, num_nodes, hot_k=hot_k, diag_b=diag_b,
+                        res_ob=res_ob)
+    if not ranked:
+        return (diag_b or 0, hot_k or 0)
+    return ranked[0][1], ranked[0][2]
+
+
+def rank_tiers(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    hot_k: int | None = None,
+    diag_b: int | None = None,
+    res_ob: int = 1024,
+) -> list[tuple[float, int, int]]:
+    """Rank every feasible (diag_b, hot_k) candidate by the measured
+    pipeline cost model — ascending ``(cost_ns, diag_b, hot_k)``.  The
+    full ranking (not just the argmin) feeds the measured-probe autotune
+    (build_hybrid ``probe``): when the model prices its top candidates
+    within its known error band, the chip decides.
+
+    Jointly prices ``max(slab_compute, residual_gather_stream)`` where
     ``max(slab_compute, residual_gather_stream)`` where
     ``slab = R·(SLAB_A + SLAB_B·(B+K))`` and ``gathers = RESID_FIX +
     GATHER_BIG·unique_dst(B,K) + GATHER_SLOT·PAD·unique_pairs(B,K)``.
@@ -244,12 +288,11 @@ def choose_tiers(
     """
     e = len(src)
     if e == 0:
-        return (diag_b or 0, hot_k or 0)
+        return [(0.0, diag_b or 0, hot_k or 0)]
     if diag_b is not None and hot_k is not None:
-        return diag_b, hot_k
-    slot_ns = GATHER_SLOT_NS * RESID_PAD_EST
+        return [(0.0, diag_b, hot_k)]
     b_cands = DIAG_CANDIDATES if diag_b is None else (diag_b,)
-    best = None
+    cands: list[tuple[float, int, int]] = []
     for b in b_cands:
         # skip oversized *auto* candidates only: a manually fixed diag_b
         # passes through (build_hybrid rounds num_rows up to it)
@@ -313,13 +356,20 @@ def choose_tiers(
             else:
                 uniq = uniq_dst = 0
             slots_est = uniq * RESID_PAD_EST
-            gathers = (
-                RESID_FIX_NS
-                + GATHER_BIG_NS * uniq_dst
-                + GATHER_SLOT_NS * slots_est
-                if uniq
-                else 0.0
-            )
+            if uniq:
+                # min over gather formulations: two-stage (compact table)
+                # vs a single gather from full x, which drops the second
+                # op's in-context ramp (measured r5: single wins on every
+                # roster graph; two-stage only pays once the slot stream
+                # far outgrows the unique-dst census — ogbn scale)
+                gathers = RESID_FIX_NS + min(
+                    GATHER_BIG_NS * uniq_dst
+                    + GATHER_SLOT_NS * slots_est
+                    + RES_STAGE2_FIX_NS,
+                    GATHER_SINGLE_NS * slots_est,
+                ) - RES_STAGE2_FIX_NS
+            else:
+                gathers = 0.0
             if k:
                 gathers += HOT_FIX_NS  # the hot table gather is its own op
             combine = (
@@ -338,11 +388,9 @@ def choose_tiers(
             hi, lo = max(slab, gathers), min(slab, gathers)
             leak = (lo / hi) ** 2 if hi > 0 else 0.0
             cost = hi * (1.0 + leak) + combine
-            if best is None or cost < best[0]:
-                best = (cost, b, k)
-    if best is None:  # every candidate hit the memory cap: tiers off
-        return (diag_b or 0, hot_k or 0)
-    return best[1], best[2]
+            cands.append((cost, b, k))
+    # every candidate hit the memory cap: tiers off
+    return sorted(cands) or [(0.0, diag_b or 0, hot_k or 0)]
 
 
 def model_pipeline_ns(hg: "HybridGraph") -> dict:
@@ -358,11 +406,20 @@ def model_pipeline_ns(hg: "HybridGraph") -> dict:
     # HOT_FIX_NS is charged whenever the hot tier exists, independent of
     # the residual branch — keeping this model in lockstep with
     # choose_tiers' internal cost for hot-only layouts (ADVICE r4)
-    gathers = (
-        RESID_FIX_NS
-        + GATHER_BIG_NS * len(hg.res_gather)
-        + GATHER_SLOT_NS * hg.num_res_slots
-    ) if hg.num_res_slots else 0.0
+    if hg.num_res_slots:
+        if hg.res_single:
+            gathers = (
+                RESID_FIX_NS - RES_STAGE2_FIX_NS
+                + GATHER_SINGLE_NS * hg.num_res_slots
+            )
+        else:
+            gathers = (
+                RESID_FIX_NS
+                + GATHER_BIG_NS * len(hg.res_gather)
+                + GATHER_SLOT_NS * hg.num_res_slots
+            )
+    else:
+        gathers = 0.0
     if hg.hot_k:
         gathers += HOT_FIX_NS
     combine = (
@@ -436,11 +493,22 @@ def build_hybrid(
     res_ob: int | None = None,
     feature_dim: int | None = None,  # kept for API compat; layout is D-free
     row_align: int = 512,
+    probe: bool | None = None,
 ) -> HybridGraph:
     """Build the three-tier layout.  ``hot_k``/``diag_b`` default to the
     measured-cost-model choice (``choose_tiers``); ``res_ob``/``res_tile``
     to the residual-census choice (``choose_res_geometry``); pass explicit
-    values (including 0 to disable a tier) for manual mode / studies."""
+    values (including 0 to disable a tier) for manual mode / studies.
+
+    ``probe``: measured-probe autotune over the model's top tier
+    candidates — the model proposes, the chip disposes (the reference's
+    input-adaptive thesis, param.py:51, taken one step further).  ``None``
+    (default) probes on TPU when the graph is small or the model prices
+    its top candidates within its known error band (the regime where the
+    ranking is unreliable — VERDICT r4); ``True`` forces probing,
+    ``False`` trusts the model.  Probing builds the top ``PROBE_TOP``
+    layouts and times one SpMM each with the two-point marginal harness.
+    """
     n = graph.num_nodes
     rp = np.asarray(graph.row_pointers, dtype=np.int64)
     ci = np.asarray(graph.column_index, dtype=np.int64)
@@ -452,10 +520,15 @@ def build_hybrid(
     # point — at most two passes, since the second pass re-prices at the
     # geometry the layout will actually be built with (ADVICE r3).
     in_diag_b, in_hot_k = diag_b, hot_k  # user-fixed (None = auto)
+    in_res_tile, in_res_ob = res_tile, res_ob
     census_ob = res_ob or 1024
+    ranked: list[tuple[float, int, int]] = []
     for _ in range(2):
-        diag_b, hot_k = choose_tiers(
+        ranked = rank_tiers(
             src, ci, n, hot_k=in_hot_k, diag_b=in_diag_b, res_ob=census_ob
+        )
+        diag_b, hot_k = (ranked[0][1], ranked[0][2]) if ranked else (
+            in_diag_b or 0, in_hot_k or 0
         )
         assert diag_b % 512 == 0, f"diag_b {diag_b} must be a multiple of 512"
 
@@ -533,13 +606,21 @@ def build_hybrid(
     res_gather, res_dst, res_mask, res_mask_s, res_t2b, num_res_pairs = (
         build_residual_stream(rs, rd, n, num_rows, res_tile, res_ob)
     )
+    # gather formulation: one full-x gather vs compact-then-feed (the
+    # RES_STAGE2_FIX_NS rationale above; priced from the exact censuses)
+    res_single = bool(len(res_dst)) and (
+        GATHER_SINGLE_NS * len(res_dst)
+        < GATHER_BIG_NS * len(res_gather)
+        + GATHER_SLOT_NS * len(res_dst)
+        + RES_STAGE2_FIX_NS
+    )
 
     degrees = np.ones(num_rows, dtype=np.float32)
     degrees[:n] = graph.degrees
     row_mask = np.zeros(num_rows, dtype=np.float32)
     row_mask[:n] = 1.0
 
-    return HybridGraph(
+    hg = HybridGraph(
         num_rows=num_rows,
         real_nodes=n,
         degrees=degrees,
@@ -564,7 +645,86 @@ def build_hybrid(
         res_covers_all=(
             len(np.unique(res_t2b)) == num_rows // res_ob
         ),
+        res_single=res_single,
     )
+    if probe is not False and (in_diag_b is None or in_hot_k is None):
+        hg = _maybe_probe_tiers(
+            graph, hg, ranked, probe,
+            res_tile=in_res_tile, res_ob=in_res_ob, row_align=row_align,
+        )
+    return hg
+
+
+# --- measured-probe autotune ------------------------------------------------
+# The cost model ranks reliably at the extremes but not within close
+# families (r4: it priced (2048,2048) over the measured-best (1024,512) on
+# ppi).  When its top candidates are within the error band — or the graph
+# is small enough that building + probing costs seconds — build the top
+# candidates and time one SpMM each; pick the measured winner.
+PROBE_TOP = 3  # layouts built and timed
+PROBE_BAND = 1.35  # probe when cost2 <= cost1 * band (the model's ~1-sigma
+# relative error across the r5 refit residuals is ~0.15; 1.35 covers the
+# families the model is known to mis-rank without probing clear wins)
+PROBE_ROW_LIMIT = 150_000  # always probe below this many rows (build+probe
+# costs seconds; the whole roster's small graphs sit here)
+PROBE_ITERS = 100
+
+
+def _probe_spmm_time(hg: "HybridGraph") -> float:
+    """Seconds per SpMM over a built layout (two-point marginal, chained).
+    Module-level so tests can pin the probe path with a fake timer.
+
+    Noise floor: repeated probes of the same layout vary ~±4% on this
+    platform (ambient drift — r5 measurements), so reps=3 and the
+    candidates' differences must exceed that to matter; within the band
+    the pick is effectively a coin flip between near-equals, which is
+    exactly the regime where any choice is fine."""
+    import jax.numpy as jnp
+
+    from gnnadvisor_osdi21_tpu.ops.aggregate import sag
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import build_hybrid_tensors
+    from gnnadvisor_osdi21_tpu.utils.timing import chained_marginal_time
+
+    ht = build_hybrid_tensors(hg, agg_dtype="bfloat16", transposed=True)
+    x = jnp.ones((16, hg.num_rows), dtype=jnp.float32)
+    sec, _ = chained_marginal_time(
+        lambda a, h: sag(a, h), x, ht, iters=PROBE_ITERS, reps=3
+    )
+    return sec
+
+
+def _maybe_probe_tiers(
+    graph: GraphCSR,
+    hg: "HybridGraph",
+    ranked: list[tuple[float, int, int]],
+    probe: bool | None,
+    res_tile: int | None,
+    res_ob: int | None,
+    row_align: int,
+) -> "HybridGraph":
+    """Probe the model's top tier candidates on device; return the measured
+    winner (``hg`` if probing is not warranted)."""
+    cands = [c for c in ranked[:PROBE_TOP]]
+    if len(cands) < 2:
+        return hg
+    if probe is None:
+        from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
+
+        if not _on_tpu():
+            return hg
+        close = cands[1][0] <= cands[0][0] * PROBE_BAND
+        if graph.num_nodes > PROBE_ROW_LIMIT and not close:
+            return hg
+    best_sec, best_hg = None, hg
+    for _, b, k in cands:
+        cand = hg if (b == hg.diag_b and k == hg.hot_k) else build_hybrid(
+            graph, hot_k=k, diag_b=b, res_tile=res_tile, res_ob=res_ob,
+            row_align=row_align, probe=False,
+        )
+        sec = _probe_spmm_time(cand)
+        if best_sec is None or sec < best_sec:
+            best_sec, best_hg = sec, cand
+    return best_hg
 
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:

@@ -106,14 +106,19 @@ def build_hybrid_tensors(
     # (and the CPU reference fallback) the out-row-major one
     need_rowmajor_mask = has_res and (not transposed or not _on_tpu())
     need_slotmajor_mask = has_res and transposed and _on_tpu()
+    # single-stage residual gather (hg.res_single): precompose the chain
+    # so res_dst holds full-row ids and res_gather stays off-device; the
+    # kernels branch on res_gather is None (DESIGN.md §8 win condition)
+    single = has_res and hg.res_single
     return HybridTensors(
         degrees=put(hg.degrees),
         row_mask=put(hg.row_mask),
         diag_bits=put(hg.diag_bits) if hg.diag_b else None,
         hot_bits=put(hg.hot_bits) if hg.hot_k else None,
         hot_ids=put(hg.hot_ids) if hg.hot_k else None,
-        res_gather=put(hg.res_gather) if has_res else None,
-        res_dst=put(hg.res_dst) if has_res else None,
+        res_gather=put(hg.res_gather) if has_res and not single else None,
+        res_dst=put(hg.res_gather[hg.res_dst] if single else hg.res_dst)
+        if has_res else None,
         res_mask=put(hg.res_mask) if need_rowmajor_mask else None,
         res_mask_s=put(hg.res_mask_s) if need_slotmajor_mask else None,
         res_t2b=put(hg.res_t2b) if has_res else None,
@@ -210,11 +215,19 @@ def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
     t = ht.res_t2b.shape[0]
     words = ht.res_ob // 32
     n_blocks = ht.num_rows // ht.res_ob
-    # two-stage gather: compact the unique destinations first (big-table
-    # gathers cost ~2x small-table ones), then feed slots from the small
-    # table
-    compact = jnp.take(x, ht.res_gather, axis=0)
-    rows = jnp.take(compact, ht.res_dst, axis=0)  # [M_pad, D]
+    if ht.res_gather is None:
+        # single-stage: one gather from full x (res_dst holds full-row ids).
+        # Measured win condition (DESIGN.md §8): the per-row full-table
+        # premium (~7 vs ~2.2 ns) is smaller than the dropped gather op's
+        # in-context ramp when the slot stream is short — the small-graph
+        # regime; build_hybrid prices the choice (res_single).
+        rows = jnp.take(x, ht.res_dst, axis=0)  # [M_pad, D]
+    else:
+        # two-stage gather: compact the unique destinations first
+        # (big-table gathers cost ~2x small-table ones), then feed slots
+        # from the small table
+        compact = jnp.take(x, ht.res_gather, axis=0)
+        rows = jnp.take(compact, ht.res_dst, axis=0)  # [M_pad, D]
     if _on_tpu():
         from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
@@ -327,8 +340,13 @@ def residual_tier_t(
     passing ``vma`` so the Pallas combine satisfies check_vma=True)."""
     from gnnadvisor_osdi21_tpu.ops import spmm_pallas
 
-    compact = jnp.take(src_t, ht.res_gather, axis=1)  # [D, Ud]
-    rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
+    if ht.res_gather is None:
+        # single-stage (see _residual_aggregate): res_dst holds full-table
+        # column ids, one gather op instead of two
+        rows_t = jnp.take(src_t, ht.res_dst, axis=1)  # [D, M_pad]
+    else:
+        compact = jnp.take(src_t, ht.res_gather, axis=1)  # [D, Ud]
+        rows_t = jnp.take(compact, ht.res_dst, axis=1)  # [D, M_pad]
     r = spmm_pallas.residual_combine_t(
         rows_t, ht.res_mask_s, ht.res_t2b, ht.num_rows, ht.res_ob,
         feature_tile=ht.feature_tile, vma=vma,

@@ -293,3 +293,77 @@ def test_model_pipeline_ns_breakdown():
     hg2 = build_hybrid(g, hot_k=0, diag_b=0)
     assert hg2.num_res_slots > 0
     assert model_pipeline_ns(hg2)["gather_ns"] > 0
+
+
+def test_single_stage_residual_matches_two_stage(hybrid_setup):
+    """res_single precomposes the gather chain (one full-x gather); both
+    formulations must produce identical aggregates, and the single-stage
+    tensors must actually drop the stage-1 table."""
+    import dataclasses
+
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import hybrid_aggregate
+
+    g, hg, _ = hybrid_setup
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((hg.num_rows, 16)).astype(np.float32))
+    outs = {}
+    for single in (False, True):
+        ht = build_hybrid_tensors(dataclasses.replace(hg, res_single=single))
+        assert (ht.res_gather is None) == single
+        outs[single] = np.asarray(hybrid_aggregate(x, ht, norm=False))
+    np.testing.assert_allclose(outs[False], outs[True], rtol=1e-5, atol=1e-5)
+
+
+def test_res_single_decision_small_graphs():
+    """The decider picks the single-stage gather whenever a residual
+    stream exists: the fitted per-slot rate (GATHER_SINGLE_NS, r5) beats
+    even the compact-table stage-2 rate, so the two-stage chain never
+    wins single-chip (it remains the dist path's table formulation)."""
+    g = synthesize_graph(3000, 40000, num_features=8, kind="powerlaw", seed=2)
+    hg = build_hybrid(g, hot_k=0, diag_b=512)
+    assert hg.num_res_slots and hg.res_single
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import (
+        GATHER_SINGLE_NS, GATHER_SLOT_NS,
+    )
+    assert GATHER_SINGLE_NS <= GATHER_SLOT_NS
+
+
+def test_probe_autotune_picks_measured_winner(monkeypatch):
+    """The measured-probe autotune must override the model's ranking with
+    on-device timings: pin a fake timer that inverts the model's order and
+    assert the probed build returns the 'measured' winner."""
+    import gnnadvisor_osdi21_tpu.graphs.hybrid as H
+
+    g = synthesize_graph(3000, 40000, num_features=8, kind="powerlaw", seed=7)
+    base = build_hybrid(g, probe=False)
+    ranked = H.rank_tiers(
+        np.repeat(np.arange(g.num_nodes, dtype=np.int64),
+                  np.diff(g.row_pointers)),
+        np.asarray(g.column_index, dtype=np.int64),
+        g.num_nodes, res_ob=base.res_ob,
+    )
+    assert ranked[0][1:] == (base.diag_b, base.hot_k)
+    assert len(ranked) >= 2
+    # fake timer: the model's SECOND candidate "measures" fastest
+    want = ranked[1][1:]
+    times = {c[1:]: 1.0 for c in ranked}
+    times[want] = 0.1
+
+    monkeypatch.setattr(
+        H, "_probe_spmm_time", lambda hg: times[(hg.diag_b, hg.hot_k)]
+    )
+    probed = build_hybrid(g, probe=True)
+    assert (probed.diag_b, probed.hot_k) == want
+    # probe=False trusts the model
+    assert (base.diag_b, base.hot_k) == ranked[0][1:]
+
+
+def test_probe_autotune_skipped_off_tpu():
+    """Default (probe=None) never probes on the CPU backend — the layout
+    equals the pure-model build."""
+    g = synthesize_graph(2000, 20000, num_features=8, kind="community", seed=9)
+    a = build_hybrid(g)
+    b = build_hybrid(g, probe=False)
+    assert (a.diag_b, a.hot_k, a.res_ob, a.res_tile) == (
+        b.diag_b, b.hot_k, b.res_ob, b.res_tile
+    )
