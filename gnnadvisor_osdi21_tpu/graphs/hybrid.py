@@ -668,6 +668,7 @@ PROBE_BAND = 1.35  # probe when cost2 <= cost1 * band (the model's ~1-sigma
 PROBE_ROW_LIMIT = 150_000  # always probe below this many rows (build+probe
 # costs seconds; the whole roster's small graphs sit here)
 PROBE_ITERS = 100
+PROBE_MARGIN = 0.05  # a challenger must beat the model pick by >5%
 
 
 def _probe_spmm_time(hg: "HybridGraph") -> float:
@@ -715,15 +716,23 @@ def _maybe_probe_tiers(
         close = cands[1][0] <= cands[0][0] * PROBE_BAND
         if graph.num_nodes > PROBE_ROW_LIMIT and not close:
             return hg
-    best_sec, best_hg = None, hg
+    # The model pick is always the first candidate; a challenger must beat
+    # it by more than the probe's own noise band (~±4% run-to-run on this
+    # platform) to override — otherwise near-equal measurements would turn
+    # the pick into a coin flip biased by ambient drift.
+    base_sec, best_sec, best_hg = None, None, hg
     for _, b, k in cands:
         cand = hg if (b == hg.diag_b and k == hg.hot_k) else build_hybrid(
             graph, hot_k=k, diag_b=b, res_tile=res_tile, res_ob=res_ob,
             row_align=row_align, probe=False,
         )
         sec = _probe_spmm_time(cand)
+        if base_sec is None:
+            base_sec = sec
         if best_sec is None or sec < best_sec:
             best_sec, best_hg = sec, cand
+    if base_sec is not None and best_sec >= base_sec * (1.0 - PROBE_MARGIN):
+        return hg  # no significant measured win: trust the model
     return best_hg
 
 
