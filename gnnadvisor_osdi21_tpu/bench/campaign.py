@@ -163,6 +163,13 @@ def _assemble(quick: bool) -> None:
             (os.path.join(RUN_DIR, f"{tag}.log"), header)
         )
     for study, entries in by_study.items():
+        if not any(_done(p) for p, _ in entries):
+            # no completed runs for this grid in the current sweep: keep
+            # whatever assembled artifact already exists (a filtered
+            # campaign must not clobber a previous round's grid)
+            print(f"[assemble] no runs for study '{study}', keeping "
+                  "existing artifacts", flush=True)
+            continue
         out = os.path.join(LOG_DIR, f"study_{study}.log")
         cat([p for p, _ in entries], out, headers=[h for _, h in entries])
         study2csv.main([out])

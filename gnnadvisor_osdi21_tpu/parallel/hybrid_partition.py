@@ -91,6 +91,16 @@ class HybridShardedGraph:
     def table_rows(self) -> int:
         return self.block + self.recv_max
 
+    def plan_bytes(self, backend: str = "tpu") -> int:
+        """Per-device exchange-plan payload in bytes for the arrays the
+        backend actually ships (dist_hybrid._graph_specs): the TPU path
+        carries the ragged sender plan (flat gather list + 4 offset/size
+        tables), the CPU mesh the dense send_idx + repack emulation."""
+        nd = self.num_devices
+        if backend == "tpu":
+            return 4 * (self.send_flat.shape[1] + 4 * nd)
+        return 4 * (nd * self.halo + self.recv_max)
+
 
 def shard_graph_hybrid(
     graph: GraphCSR,

@@ -74,6 +74,14 @@ class ShardedGraph:
         """Rows in each device's gather table: local block + received halo."""
         return self.block + self.recv_max
 
+    def plan_bytes(self, backend: str = "tpu") -> int:
+        """Per-device exchange-plan payload in bytes (dist_ops._graph_specs
+        ships only the backend's own plan — see HybridShardedGraph twin)."""
+        nd = self.num_devices
+        if backend == "tpu":
+            return 4 * (self.send_flat.shape[1] + 4 * nd)
+        return 4 * (nd * self.halo + self.recv_max)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

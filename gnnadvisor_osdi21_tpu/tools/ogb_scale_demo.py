@@ -86,7 +86,9 @@ def main(argv=None) -> int:
             f"shard plan nd={nd}: build {time.perf_counter()-t0:.1f}s | "
             f"Hmax={sg.halo} dense all_to_all rows/dev={dense:,} "
             f"ragged rows/dev={ragged:,} "
-            f"({dense / max(ragged, 1):.1f}x fewer bytes on the wire)",
+            f"({dense / max(ragged, 1):.1f}x fewer bytes on the wire) | "
+            f"plan bytes/dev tpu={sg.plan_bytes('tpu'):,} "
+            f"cpu-mesh={sg.plan_bytes('cpu'):,}",
             flush=True,
         )
 
