@@ -151,6 +151,65 @@ def main(argv=None) -> int:
         flush=True,
     )
 
+    # --- 4. multi-device ragged collective vs the emulation table --------
+    # (ADVICE r4: the multi-pair jax.lax.ragged_all_to_all branch only
+    # lowers trivially on a 1-device mesh).  Hardware-gated: runs whenever
+    # this host sees 2+ accelerator devices — the pod-slice CI arm.
+    ndev_hw = len([d for d in jax.devices() if d.platform != "cpu"])
+    if ndev_hw >= 2:
+        from gnnadvisor_osdi21_tpu.parallel.dist_ops import (
+            _halo_exchange_ragged_t,
+        )
+
+        nd = min(ndev_hw, 4)
+        g2 = synthesize_graph(4096 * nd, 40_000 * nd, num_features=8,
+                              kind="web", seed=13)
+        sg2 = shard_graph_hybrid(g2, num_devices=nd, diag_b=512, hot_k=0)
+        mesh2 = make_mesh(nd)
+        garr3 = device_graph_arrays(sg2, mesh2)
+        n_pad2 = nd * sg2.block
+        ids = jnp.arange(n_pad2, dtype=jnp.float32)[None, :]
+        xr = jax.device_put(ids, NamedSharding(mesh2, P(None, GRAPH_AXIS)))
+
+        @jax.jit
+        @partial(
+            shard_map, mesh=mesh2,
+            in_specs=(_graph_specs(sg2), P(None, GRAPH_AXIS)),
+            out_specs=P(None, GRAPH_AXIS),
+        )
+        def exchange(gd, x_t):
+            gd = {k: v[0] for k, v in gd.items()}
+            return _halo_exchange_ragged_t(x_t, gd, sg2.recv_max)
+
+        got = np.asarray(exchange(garr3, xr))[0].reshape(
+            nd, sg2.block + sg2.recv_max
+        )
+        # dense-emulation oracle, host-side from the dense plan arrays:
+        # recv[r][s*Hmax + j] = id shipped by sender s slot j, repacked
+        ids_np = np.arange(n_pad2, dtype=np.float32).reshape(nd, sg2.block)
+        rp_ok = True
+        for r in range(nd):
+            dense_recv = np.concatenate([
+                ids_np[s][sg2.send_idx[s, r]] for s in range(nd)
+            ])
+            want = np.concatenate(
+                [ids_np[r], dense_recv[sg2.halo_repack[r]]]
+            )
+            n_real = sg2.block + int(sg2.halo_sizes[r].sum())
+            rp_ok &= bool(np.array_equal(got[r, :n_real], want[:n_real]))
+        ok &= rp_ok
+        print(
+            f"multi-device ragged_all_to_all vs emulation table "
+            f"(nd={nd}, {dev.platform}): {'PASS' if rp_ok else 'FAIL'}",
+            flush=True,
+        )
+    else:
+        print(
+            "multi-device ragged check: SKIPPED (1 accelerator visible; "
+            "runs automatically on a pod slice)",
+            flush=True,
+        )
+
     print("ALL PASS" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
