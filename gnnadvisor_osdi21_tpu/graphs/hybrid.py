@@ -264,9 +264,8 @@ def rank_tiers(
     within its known error band, the chip decides.
 
     Jointly prices ``max(slab_compute, residual_gather_stream)`` where
-    ``max(slab_compute, residual_gather_stream)`` where
     ``slab = R·(SLAB_A + SLAB_B·(B+K))`` and ``gathers = RESID_FIX +
-    GATHER_BIG·unique_dst(B,K) + GATHER_SLOT·PAD·unique_pairs(B,K)``.
+    min(two-stage, single-stage)`` over the gather formulations.
     The max form is measured, not assumed: XLA overlaps the slab pallas
     pass with the residual gather chain (the gather DMAs hide the slab
     compute entirely at tuned tiers — bench/breakdown.py, 2026-08-19).
