@@ -66,7 +66,9 @@ def _local_tensors(
         diag_bits=g["diag_bits"] if sg.diag_b else None,
         hot_bits=g["hot_bits"] if sg.hot_k else None,
         hot_ids=g["hot_ids"] if sg.hot_k else None,
-        res_gather=g["res_gather"],
+        # single-stage residual (sg.res_single): res_dst holds precomposed
+        # table ids and res_gather never ships — the kernels branch on None
+        res_gather=g.get("res_gather"),
         res_dst=g["res_dst"],
         res_mask=g.get("res_mask"),
         res_mask_s=g.get("res_mask_s"),
@@ -226,10 +228,11 @@ def _graph_specs(sg: HybridShardedGraph):
     specs = {
         "degrees": P(GRAPH_AXIS, None),
         "node_mask": P(GRAPH_AXIS, None),
-        "res_gather": P(GRAPH_AXIS, None),
         "res_dst": P(GRAPH_AXIS, None),
         "res_t2b": P(GRAPH_AXIS, None),
     }
+    if not sg.res_single:
+        specs["res_gather"] = P(GRAPH_AXIS, None)
     # Ship only the plan arrays and mask orientation the backend actually
     # reads (VERDICT r4 item 8: both plans used to travel in every run).
     # TPU (jax.lax.ragged_all_to_all): the sender-side flat gather list +

@@ -74,6 +74,11 @@ class HybridShardedGraph:
     halo_send_sizes: np.ndarray | None = None  # [ndev(s), ndev(r)]
     halo_out_off: np.ndarray | None = None  # [ndev(s), ndev(r)] recv offsets
     halo_repack: np.ndarray | None = None  # [ndev(r), recv_max] dense->ragged
+    # single-stage residual gather (graphs/hybrid.py res_single): res_dst
+    # holds precomposed TABLE ids and res_gather never ships — one gather
+    # op per layer per device instead of two (same r5 cost rule, applied
+    # to the fleet-wide padded censuses)
+    res_single: bool = False
 
     @property
     def dense_exchange_rows(self) -> int:
@@ -301,6 +306,19 @@ def shard_graph_hybrid(
     dw = diag_b // 16
     n_blocks = block // res_ob
 
+    # gather formulation for the residual tier, same r5-measured rule as
+    # the single-chip layout (graphs/hybrid.py): single-stage precomposes
+    # res_gather[res_dst] into TABLE ids and drops one gather op per
+    # layer per device; priced on the fleet-wide padded censuses
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import (
+        GATHER_BIG_NS, GATHER_SINGLE_NS, GATHER_SLOT_NS, RES_STAGE2_FIX_NS,
+    )
+
+    res_single = bool(
+        GATHER_SINGLE_NS * m_max
+        < GATHER_BIG_NS * ug_max + GATHER_SLOT_NS * m_max + RES_STAGE2_FIX_NS
+    )
+
     diag_bits = np.zeros((num_devices, dw, block), dtype=np.uint16)
     hot_ids = np.zeros((num_devices, hot_k), dtype=np.int32)
     hot_bits = np.zeros((num_devices, kw, block), dtype=np.uint16)
@@ -315,7 +333,10 @@ def shard_graph_hybrid(
         hot_ids[d, : len(hi)] = hi
         hot_bits[d, :, :] = hb
         res_gather[d, : len(rg)] = rg
-        res_dst[d, : len(rd_)] = rd_
+        if res_single and len(rg):
+            res_dst[d, : len(rd_)] = rg[rd_]  # precomposed table ids
+        else:
+            res_dst[d, : len(rd_)] = rd_
         res_mask[d, :, : rm.shape[1]] = rm
         if rms.size:
             res_mask_s[d, :, : rms.shape[1]] = rms
@@ -337,6 +358,7 @@ def shard_graph_hybrid(
         hot_k=hot_k,
         res_tile=res_tile,
         res_ob=res_ob,
+        res_single=res_single,
         diag_bits=diag_bits,
         hot_ids=hot_ids,
         hot_bits=hot_bits,

@@ -432,3 +432,49 @@ def test_plan_bytes_tpu_smaller_than_dense():
         sg = shard_graph_hybrid(g, num_devices=ndev, diag_b=512, hot_k=0)
         tpu, cpu = sg.plan_bytes("tpu"), sg.plan_bytes("cpu")
         assert 0 < tpu < cpu, (ndev, tpu, cpu)
+
+
+@needs_8
+def test_dist_res_formulations_match_oracle(monkeypatch):
+    """Both dist residual gather formulations (single-stage precomposed
+    table ids vs two-stage compact) produce the oracle aggregate; the
+    plan ships res_gather only for the two-stage build."""
+    import gnnadvisor_osdi21_tpu.graphs.hybrid as H
+
+    g = synthesize_graph(3000, 40000, num_features=16, num_classes=5,
+                         kind="community", seed=3)
+    src = reference.csr_to_coo(g.row_pointers, g.column_index)
+    want = np.asarray(reference.sag(
+        jnp.asarray(g.init_embedding(8, seed=0)), jnp.asarray(src),
+        jnp.asarray(g.column_index), g.num_nodes,
+    ))
+    x = g.init_embedding(8, seed=0)
+    mesh = make_mesh(8)
+    for force_two in (False, True):
+        if force_two:
+            monkeypatch.setattr(H, "GATHER_SINGLE_NS", 1e9)
+        else:
+            monkeypatch.setattr(H, "GATHER_SINGLE_NS", 2.1)
+        sg = shard_graph_hybrid(g, num_devices=8, diag_b=512, hot_k=512)
+        assert sg.res_single == (not force_two)
+        garr = device_graph_arrays(sg, mesh)
+        assert ("res_gather" in garr) == force_two
+        xp = jax.device_put(
+            jnp.asarray(_padded(x, sg.num_devices * sg.block)),
+            NamedSharding(mesh, P(GRAPH_AXIS, None)),
+        )
+
+        @jax.jit
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(_graph_specs(sg), P(GRAPH_AXIS, None)),
+            out_specs=P(GRAPH_AXIS, None),
+        )
+        def run(gd, x_blk):
+            gd = {k: v[0] for k, v in gd.items()}
+            return dist_hybrid_aggregate(
+                x_blk, sg, gd, norm=False, agg_dtype="float32"
+            )
+
+        out = np.asarray(run(garr, xp))[: g.num_nodes]
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
