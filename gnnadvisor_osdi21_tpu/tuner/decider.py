@@ -126,6 +126,11 @@ class InputProperty:
         self.method = method
         self.hot_k = hot_k
         self.diag_b = diag_b
+        # user-FIXED tier values (None = auto): build_tensors re-runs the
+        # tier choice through build_hybrid so the measured-probe autotune
+        # can override the model pick in auto mode (r5)
+        self._user_hot_k = hot_k
+        self._user_diag_b = diag_b
         self.model = model
         self.enable_reorder = enable_reorder
         self.manual_mode = manual_mode
@@ -302,9 +307,28 @@ class InputProperty:
             # The layout is feature-free (tier choice happened in decider);
             # both layers share the device arrays, each with its own kernel
             # geometry (the set_input/set_hidden analog, param.py:122-141).
+            # User-fixed tiers pass through; auto tiers go back through
+            # build_hybrid so the measured-probe autotune can override the
+            # model pick on device (graphs/hybrid.py PROBE_*).
             self.hybrid_graph = build_hybrid(
-                self.graph, hot_k=self.hot_k, diag_b=self.diag_b
+                self.graph, hot_k=self._user_hot_k, diag_b=self._user_diag_b
             )
+            hg = self.hybrid_graph
+            if (hg.diag_b, hg.hot_k) != (self.diag_b, self.hot_k):
+                # the probe overrode the model pick: refresh tier-dependent
+                # kernel geometry (the VMEM budget prices the slab width)
+                self.diag_b, self.hot_k = hg.diag_b, hg.hot_k
+                sk = self.diag_b + self.hot_k
+                for attr in ("layer_input", "layer_hidden"):
+                    lc = getattr(self, attr)
+                    if not (self.manual_mode and self.block_parts):
+                        setattr(self, attr, dataclasses.replace(
+                            lc,
+                            block_parts=self._auto_block_parts(
+                                sk, lc.feature_dim
+                            ),
+                        ))
+                li, lh = self.layer_input, self.layer_hidden
             transposed = True if self.transposed is None else self.transposed
             gt_in = build_hybrid_tensors(
                 self.hybrid_graph, device=device,
