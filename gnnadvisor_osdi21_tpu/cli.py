@@ -157,6 +157,9 @@ def main(argv=None) -> int:
         manual_mode=args.manual_mode == "True",
         verbose=verbose,
         agg_dtype=args.agg_dtype,
+        # verification checks correctness, not tier quality — skip the
+        # on-device probe autotune there
+        probe=False if args.verify_spmm == "True" else None,
     ).decider()
 
     # -- multi-chip path --------------------------------------------------

@@ -103,7 +103,11 @@ class InputProperty:
         verbose: bool = False,
         agg_dtype: str = "bfloat16",
         transposed: Optional[bool] = None,
+        probe: Optional[bool] = None,
     ):
+        # probe: measured-probe tier autotune (graphs/hybrid.build_hybrid
+        # ``probe``) — None auto-gates on TPU; False for correctness-only
+        # paths (verification) where tier quality is irrelevant.
         # transposed: feature arrays live [D, R] with graph rows on the
         # 128-lane axis (the v3 layout — exact-bytes streams, measured
         # 3-4x faster slab passes, ops/spmm_pallas.py).  None = on for the
@@ -137,6 +141,7 @@ class InputProperty:
         self.verbose = verbose
         self.agg_dtype = agg_dtype
         self.transposed = transposed
+        self.probe = probe
 
         self.reorder_status = False
         self.layer_input: Optional[LayerConfig] = None
@@ -311,7 +316,8 @@ class InputProperty:
             # build_hybrid so the measured-probe autotune can override the
             # model pick on device (graphs/hybrid.py PROBE_*).
             self.hybrid_graph = build_hybrid(
-                self.graph, hot_k=self._user_hot_k, diag_b=self._user_diag_b
+                self.graph, hot_k=self._user_hot_k, diag_b=self._user_diag_b,
+                probe=self.probe,
             )
             hg = self.hybrid_graph
             if (hg.diag_b, hg.hot_k) != (self.diag_b, self.hot_k):
