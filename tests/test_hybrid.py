@@ -367,3 +367,32 @@ def test_probe_autotune_skipped_off_tpu():
     assert (a.diag_b, a.hot_k, a.res_ob, a.res_tile) == (
         b.diag_b, b.hot_k, b.res_ob, b.res_tile
     )
+
+
+def test_model_pipeline_matches_chooser_formulation():
+    """model_pipeline_ns must price the residual-gather formulation the
+    built layout actually uses (single vs two-stage) with the same
+    constants as choose_tiers' min — the lockstep ADVICE r4 asked for."""
+    import dataclasses
+
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import (
+        GATHER_BIG_NS, GATHER_SINGLE_NS, GATHER_SLOT_NS, RESID_FIX_NS,
+        RES_STAGE2_FIX_NS, model_pipeline_ns,
+    )
+
+    g = synthesize_graph(3000, 40000, num_features=8, kind="powerlaw", seed=4)
+    hg = build_hybrid(g, hot_k=0, diag_b=512)
+    assert hg.num_res_slots
+    m1 = model_pipeline_ns(dataclasses.replace(hg, res_single=True))
+    m2 = model_pipeline_ns(dataclasses.replace(hg, res_single=False))
+    assert m1["gather_ns"] == (
+        RESID_FIX_NS - RES_STAGE2_FIX_NS
+        + GATHER_SINGLE_NS * hg.num_res_slots
+    )
+    assert m2["gather_ns"] == (
+        RESID_FIX_NS
+        + GATHER_BIG_NS * len(hg.res_gather)
+        + GATHER_SLOT_NS * hg.num_res_slots
+    )
+    # the built layout picked the cheaper formulation
+    assert (m1["gather_ns"] < m2["gather_ns"]) == hg.res_single
