@@ -321,6 +321,12 @@ class InputProperty:
             )
             hg = self.hybrid_graph
             if (hg.diag_b, hg.hot_k) != (self.diag_b, self.hot_k):
+                if self.verbose:
+                    print(
+                        f"# probe autotune: measured ({hg.diag_b},"
+                        f"{hg.hot_k}) over model ({self.diag_b},"
+                        f"{self.hot_k})"
+                    )
                 # the probe overrode the model pick: refresh tier-dependent
                 # kernel geometry (the VMEM budget prices the slab width)
                 self.diag_b, self.hot_k = hg.diag_b, hg.hot_k
