@@ -3,9 +3,11 @@
 Edge-partitioned multi-chip GNN execution (new capability; SURVEY.md §2.3):
 destination rows are sharded in contiguous blocks over the ``"graph"`` mesh
 axis; every layer's aggregation fetches remote source features with one
-``jax.lax.all_to_all`` (riding ICI) using the static halo plan from
-``parallel/partition.py``, then runs the same padded neighbor-group
-reduction as the single-chip ELL path, entirely inside ``shard_map``.
+exact-size ``jax.lax.ragged_all_to_all`` (riding ICI) using the compact
+halo plan from ``parallel/partition.py`` (the CPU mesh emulates the same
+table layout over a dense exchange + static repack), then runs the same
+padded neighbor-group reduction as the single-chip ELL path, entirely
+inside ``shard_map``.
 
 Key algebraic trick: the GCN weighting ``deg[s]·deg[d]`` factors into a
 pre-scale of the *sent* features by the sender's local degrees and a
