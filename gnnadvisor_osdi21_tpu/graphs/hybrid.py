@@ -106,6 +106,15 @@ HOT_FIX_NS = 2.0e5  # hot-table gather op ramp (charged when hot_k > 0)
 # carries almost no fixed cost, so most of RESID_FIX_NS is attributed to
 # the dropped op; what stays gates tiers conservatively in epoch context.
 RES_STAGE2_FIX_NS = 7.5e5
+# Epoch-context width limit for the single-stage formulation: chained
+# SpMM prefers single-stage at EVERY measured width (dim 16-96, r5
+# probe), but inside a full training epoch the wide-row full-table
+# gather stream loses its overlap and two-stage wins once
+# slots x agg_dim grows past ~10^7 cells (measured amazon0505 epochs:
+# GCN agg at 16/22 -> single 12.99 vs two 14.27 ms; GIN agg at 96/64 ->
+# single 44.6 vs two 36.5; ppi GIN at 50k slots stays single-friendly).
+# build_hybrid_tensors applies this per layer via ``agg_feature_dim``.
+RES_SINGLE_MAX_CELLS = 12_000_000
 RESID_PAD_EST = 1.15  # slots / pairs (res_tile padding) at res_ob=1024
 HBM_BYTES_PER_NS = 690.0  # measured Pallas stream rate (690 GB/s)
 # Bit slabs are stored transposed ([words, rows], spmm_pallas docstring),

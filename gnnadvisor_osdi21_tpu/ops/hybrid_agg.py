@@ -98,7 +98,10 @@ def build_hybrid_tensors(
     feature_tile: int = 128,
     agg_dtype: str = "float32",
     transposed: bool = False,
+    agg_feature_dim: int | None = None,
 ) -> HybridTensors:
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import RES_SINGLE_MAX_CELLS
+
     put = lambda a: jax.device_put(jnp.asarray(a), device)
     has_res = hg.res_dst.size > 0
     # only the orientation the selected kernel reads goes on device; the
@@ -108,8 +111,15 @@ def build_hybrid_tensors(
     need_slotmajor_mask = has_res and transposed and _on_tpu()
     # single-stage residual gather (hg.res_single): precompose the chain
     # so res_dst holds full-row ids and res_gather stays off-device; the
-    # kernels branch on res_gather is None (DESIGN.md §8 win condition)
-    single = has_res and hg.res_single
+    # kernels branch on res_gather is None.  ``agg_feature_dim`` — the
+    # width THIS layer's aggregate runs at (hidden/classes for GCN,
+    # input/hidden for GIN) — gates the formulation per layer: wide rows
+    # over long slot streams lose the single-stage overlap in epoch
+    # context (RES_SINGLE_MAX_CELLS, measured r5).
+    single = has_res and hg.res_single and (
+        agg_feature_dim is None
+        or hg.num_res_slots * agg_feature_dim <= RES_SINGLE_MAX_CELLS
+    )
     return HybridTensors(
         degrees=put(hg.degrees),
         row_mask=put(hg.row_mask),

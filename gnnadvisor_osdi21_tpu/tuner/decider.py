@@ -342,12 +342,46 @@ class InputProperty:
                         ))
                 li, lh = self.layer_input, self.layer_hidden
             transposed = True if self.transposed is None else self.transposed
+            # the width each layer's AGGREGATE runs at: aggregation follows
+            # the GEMM in GCN (hidden, then classes) and precedes it in GIN
+            # (input, then hidden) — SURVEY §3.1/§3.2.  It gates the
+            # residual gather formulation per layer (hybrid_agg
+            # ``agg_feature_dim``, RES_SINGLE_MAX_CELLS).
+            if self.model == "gin":
+                agg_dims = (self.input_dim, self.hidden_dim)
+            else:
+                agg_dims = (
+                    self.hidden_dim,
+                    getattr(self.graph, "num_classes", self.hidden_dim),
+                )
             gt_in = build_hybrid_tensors(
-                self.hybrid_graph, device=device,
+                hg, device=device,
                 block_rows=li.block_parts, feature_tile=li.feature_tile,
                 agg_dtype=self.agg_dtype, transposed=transposed,
+                agg_feature_dim=agg_dims[0],
             )
-            gt_hid = with_geometry(gt_in, lh.block_parts, lh.feature_tile)
+
+            def _single(d):
+                from gnnadvisor_osdi21_tpu.graphs.hybrid import (
+                    RES_SINGLE_MAX_CELLS,
+                )
+
+                return (
+                    hg.res_single and hg.res_dst.size > 0
+                    and hg.num_res_slots * d <= RES_SINGLE_MAX_CELLS
+                )
+
+            if _single(agg_dims[0]) == _single(agg_dims[1]):
+                gt_hid = with_geometry(gt_in, lh.block_parts, lh.feature_tile)
+            else:
+                # layers straddle the width limit: each gets its own
+                # gather formulation (only res_dst/res_gather differ)
+                gt_hid = build_hybrid_tensors(
+                    hg, device=device,
+                    block_rows=lh.block_parts, feature_tile=lh.feature_tile,
+                    agg_dtype=self.agg_dtype, transposed=transposed,
+                    agg_feature_dim=agg_dims[1],
+                )
             return gt_in, gt_hid
         groups = None
         if li.method == "ell":

@@ -396,3 +396,19 @@ def test_model_pipeline_matches_chooser_formulation():
     )
     # the built layout picked the cheaper formulation
     assert (m1["gather_ns"] < m2["gather_ns"]) == hg.res_single
+
+
+def test_res_single_width_gate():
+    """The single-stage formulation is gated per layer by the aggregate
+    width: wide rows over long slot streams revert to two-stage
+    (RES_SINGLE_MAX_CELLS — measured r5 epoch inversions)."""
+    from gnnadvisor_osdi21_tpu.graphs.hybrid import RES_SINGLE_MAX_CELLS
+
+    g = synthesize_graph(3000, 40000, num_features=8, kind="powerlaw", seed=2)
+    hg = build_hybrid(g, hot_k=0, diag_b=512)
+    assert hg.res_single and hg.num_res_slots
+    narrow = build_hybrid_tensors(hg, agg_feature_dim=16)
+    assert narrow.res_gather is None  # single-stage
+    wide_dim = RES_SINGLE_MAX_CELLS // hg.num_res_slots + 1
+    wide = build_hybrid_tensors(hg, agg_feature_dim=wide_dim)
+    assert wide.res_gather is not None  # two-stage
