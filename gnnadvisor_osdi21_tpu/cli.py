@@ -177,10 +177,17 @@ def main(argv=None) -> int:
                 shard_graph_hybrid,
             )
 
+            # widest aggregate dim the model's layers run (the sharded
+            # plan's gather formulation is fleet-global — hybrid_partition)
+            agg_dim = (
+                max(args.dim, args.hidden) if args.model == "gin"
+                else max(args.hidden, args.classes)
+            )
             sg = shard_graph_hybrid(
                 graph, num_devices=args.num_devices,
                 diag_b=None if args.diagB < 0 else args.diagB,
                 hot_k=None if args.hotK < 0 else args.hotK,
+                agg_feature_dim=agg_dim,
             )
             # the hybrid dist kernels honor the tier compute dtype
             from functools import partial as _partial

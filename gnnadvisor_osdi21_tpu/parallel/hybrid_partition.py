@@ -115,6 +115,7 @@ def shard_graph_hybrid(
     res_tile: int | None = None,
     res_ob: int | None = None,
     pad_halo_to: int = 8,
+    agg_feature_dim: int | None = None,
 ) -> HybridShardedGraph:
     """Partition + per-device hybrid layout build.
 
@@ -311,13 +312,22 @@ def shard_graph_hybrid(
     # res_gather[res_dst] into TABLE ids and drops one gather op per
     # layer per device; priced on the fleet-wide padded censuses
     from gnnadvisor_osdi21_tpu.graphs.hybrid import (
-        GATHER_BIG_NS, GATHER_SINGLE_NS, GATHER_SLOT_NS, RES_STAGE2_FIX_NS,
+        GATHER_BIG_NS, GATHER_SINGLE_NS, GATHER_SLOT_NS,
+        RES_SINGLE_MAX_CELLS, RES_STAGE2_FIX_NS,
     )
 
     res_single = bool(
         GATHER_SINGLE_NS * m_max
         < GATHER_BIG_NS * ug_max + GATHER_SLOT_NS * m_max + RES_STAGE2_FIX_NS
     )
+    # epoch-context width gate (graphs/hybrid.py RES_SINGLE_MAX_CELLS):
+    # the sharded plan precomposes res_dst at build time, so the caller
+    # passes the widest aggregate dim its layers run (None = dim-free
+    # rule).  Unlike single-chip, the formulation here is fleet-global.
+    if agg_feature_dim is not None and (
+        m_max * agg_feature_dim > RES_SINGLE_MAX_CELLS
+    ):
+        res_single = False
 
     diag_bits = np.zeros((num_devices, dw, block), dtype=np.uint16)
     hot_ids = np.zeros((num_devices, hot_k), dtype=np.int32)
