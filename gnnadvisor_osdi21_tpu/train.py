@@ -222,12 +222,6 @@ def train_and_time(
         float(loss)
         epoch_s_est = (time.perf_counter() - probe) / max(dry_run, 1)
         chunk = max(1, min(num_epochs, int(_MAX_EXEC_S / max(epoch_s_est, 1e-6))))
-        # Short-epoch graphs would fit all num_epochs in ONE execution —
-        # a single ~100 ms ambient hiccup then doubles the printed number.
-        # Keep >=4 timed executions (same total epochs) so the median fit
-        # below can reject spikes.
-        if num_epochs // chunk < 4 and chunk >= 8:
-            chunk = max(1, num_epochs // 4)
         timed = make_epoch_scan(apply_fn, gts, optimizer, chunk, mask=mask)
         # compile the timed (chunked) program outside the measured window
         timed_c = timed.compile(params, opt_state, x, y)
@@ -250,6 +244,13 @@ def train_and_time(
             timed2_c = timed2.compile(params, opt_state, x, y)
         warmup_s = time.perf_counter() - compile_start
         n_exec = -(-num_epochs // chunk)  # >= num_epochs epochs total
+        # Tiny-graph oversampling: the slope fit differences two medians,
+        # and per-execution ambient noise (several ms) swamps a
+        # (chunk - chunk2)·epoch signal of ~10 ms at cora scale.  When a
+        # full pass costs well under a second, take >= 8 samples per point
+        # (more timed epochs than the protocol minimum is harmless).
+        if n_exec * (chunk * epoch_s_est + 0.03) < 1.0 and n_exec < 8:
+            n_exec *= -(-8 // n_exec)
         final_loss = float(loss)
         times1 = []
         for _ in range(n_exec):
@@ -262,7 +263,7 @@ def train_and_time(
         num_epochs = n_exec * chunk  # actual timed epochs (protocol: >= 200)
         exec_fixed_s = 0.0
         if timed2_c is not None:
-            n2 = max(3, min(10, n_exec))
+            n2 = max(3, min(16, n_exec))
             times2 = []
             for _ in range(n2):
                 s2 = time.perf_counter()
