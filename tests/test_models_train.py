@@ -83,9 +83,12 @@ def test_scan_chunking_respects_exec_budget(small_graph, monkeypatch):
         "gcn", (gt, gt), x, y, hidden=8, num_classes=g.num_classes,
         num_epochs=7, dry_run=2, use_scan=True,
     )
-    assert res["num_epochs"] == 7  # ceil(7/1) executions x 1-epoch chunks
-    # probe re-run doubles the warmup epochs: 2*2 dry + 7 timed
-    assert res["step"] == 11
+    # chunk == 1 epoch; the tiny-run oversampling may take extra timed
+    # executions (the protocol count is a floor, not an exact number)
+    assert res["num_epochs"] >= 7
+    # step accounting stays exact: 2x2 warmup epochs + every timed epoch
+    # (chunk2 = 1 // 8 = 0, so no second-point program at this chunk size)
+    assert res["step"] == 4 + res["num_epochs"]
     assert np.isfinite(res["final_loss"])
 
 
