@@ -73,13 +73,14 @@ RES_CELL_NS = 0.0013  # per (slot, out-row) combine cell (separate stream
 GATHER_SLOT_NS = 2.17  # stage-2 marginal: one slot gather from the compact table
 GATHER_BIG_NS = 6.8  # stage-1 marginal: one unique-dst gather from full x
 # Single-stage formulation: one gather of ALL slots from full x
-# (res_gather[res_dst] precomposed host-side).  Its effective per-slot
-# rate beats even the compact-table stage-2 rate — the slot indices are
-# block-sorted with duplicates, which the gather engine exploits — and
-# the chain drops one op's ramp.  Fit r5 against the 8-graph single-stage
-# A/B (DESIGN.md §10): 2.1 ns/slot reproduces the measured totals within
-# ~7% mean error across artist/soc/ppi/com-amazon/amazon0505/amazon0601/
-# OVCAR/TWITTER (tables up to 1.9M rows).
+# (res_gather[res_dst] precomposed host-side).  2.1 ns/slot is the
+# EFFECTIVE in-pipeline rate (fit r5 against the 8-graph single-stage
+# A/B, DESIGN.md §10: reproduces the measured totals within ~7% mean
+# error across tables up to 1.9M rows).  As a bare op the gather engine
+# runs ~4.6 ns/row flat — measured INDEPENDENT of index structure
+# (contiguous runs of any length, sortedness, and duplication all
+# change nothing) — so the effective rate reflects overlap with the
+# combine/slab compute, not index locality.
 GATHER_SINGLE_NS = 2.1
 # In-context fixed costs of gather OPS.  The two-point marginal harness
 # shows the chained-SpMM fixed cost is small (~0.15 ms), but inside a
