@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hybrid diagonal-tier block rows (-1 = cost model, 0 = off)")
     p.add_argument("--hotK", type=int, default=-1,
                    help="hybrid hot-tier slab columns (-1 = cost model, 0 = off)")
+    p.add_argument("--gemm_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model-stack GEMM compute dtype (f32 = reference "
+                        "contract; bfloat16 = opt-in dense-stack lever)")
     p.add_argument("--agg_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="hybrid-tier compute dtype (f32 accumulate either "
@@ -157,6 +161,7 @@ def main(argv=None) -> int:
         manual_mode=args.manual_mode == "True",
         verbose=verbose,
         agg_dtype=args.agg_dtype,
+        gemm_dtype=args.gemm_dtype,
         # verification checks correctness, not tier quality — skip the
         # on-device probe autotune there
         probe=False if args.verify_spmm == "True" else None,

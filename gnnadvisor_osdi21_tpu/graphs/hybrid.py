@@ -676,6 +676,9 @@ PROBE_BAND = 1.35  # probe when cost2 <= cost1 * band (the model's ~1-sigma
 # families the model is known to mis-rank without probing clear wins)
 PROBE_ROW_LIMIT = 150_000  # always probe below this many rows (build+probe
 # costs seconds; the whole roster's small graphs sit here)
+PROBE_BUILD_ROW_CAP = 1_000_000  # default-auto never probes above this:
+# candidate layout builds cost minutes at ogbn scale (measured r5: the
+# probe turned a 60 s build into 454 s); probe=True still forces it
 PROBE_ITERS = 100
 PROBE_MARGIN = 0.05  # a challenger must beat the model pick by >5%
 
@@ -721,6 +724,8 @@ def _maybe_probe_tiers(
         from gnnadvisor_osdi21_tpu.ops.hybrid_agg import _on_tpu
 
         if not _on_tpu():
+            return hg
+        if graph.num_nodes > PROBE_BUILD_ROW_CAP:
             return hg
         close = cands[1][0] <= cands[0][0] * PROBE_BAND
         if graph.num_nodes > PROBE_ROW_LIMIT and not close:

@@ -57,6 +57,10 @@ class GraphTensors:
     num_nodes: int = 0
     part_size: int = 0
     method: str = "ell"
+    # model-stack GEMM compute dtype (ops.aggregate._gemm): "bfloat16"
+    # halves the dense operand bytes with f32 accumulation — an opt-in
+    # production lever beyond the reference's f32 contract
+    gemm_dtype: str = "float32"
 
     def with_method(self, method: str) -> "GraphTensors":
         return dataclasses.replace(self, method=method)
@@ -73,7 +77,7 @@ jax.tree_util.register_dataclass(
         "coo_dst",
         "dense_adj",
     ],
-    meta_fields=["num_nodes", "part_size", "method"],
+    meta_fields=["num_nodes", "part_size", "method", "gemm_dtype"],
 )
 
 
@@ -84,6 +88,7 @@ def build_graph_tensors(
     groups: Optional[NeighborGroups] = None,
     adj_dtype=jnp.float32,
     device=None,
+    gemm_dtype: str = "float32",
 ) -> GraphTensors:
     """Assemble the arrays the chosen ``method`` needs and put them on device."""
     put = lambda a: jax.device_put(a, device)
@@ -91,6 +96,7 @@ def build_graph_tensors(
         degrees=put(jnp.asarray(graph.degrees)),
         num_nodes=graph.num_nodes,
         method=method,
+        gemm_dtype=gemm_dtype,
     )
     if method == "ell":
         if groups is None:

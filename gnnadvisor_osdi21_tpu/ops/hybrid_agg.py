@@ -71,6 +71,8 @@ class HybridTensors:
     transposed: bool = False
     # every res_ob block has >=1 residual tile -> skip the visited select
     res_covers_all: bool = False
+    # model-stack GEMM compute dtype (ops.aggregate._gemm; opt-in bf16)
+    gemm_dtype: str = "float32"
 
     @property
     def method(self) -> str:
@@ -86,7 +88,7 @@ jax.tree_util.register_dataclass(
     meta_fields=[
         "num_rows", "real_nodes", "diag_b", "hot_k", "res_tile", "res_ob",
         "block_rows", "feature_tile", "agg_dtype", "transposed",
-        "res_covers_all",
+        "res_covers_all", "gemm_dtype",
     ],
 )
 
@@ -99,6 +101,7 @@ def build_hybrid_tensors(
     agg_dtype: str = "float32",
     transposed: bool = False,
     agg_feature_dim: int | None = None,
+    gemm_dtype: str = "float32",
 ) -> HybridTensors:
     from gnnadvisor_osdi21_tpu.graphs.hybrid import RES_SINGLE_MAX_CELLS
 
@@ -143,6 +146,7 @@ def build_hybrid_tensors(
         agg_dtype=agg_dtype,
         transposed=transposed,
         res_covers_all=hg.res_covers_all,
+        gemm_dtype=gemm_dtype,
     )
 
 

@@ -104,7 +104,11 @@ class InputProperty:
         agg_dtype: str = "bfloat16",
         transposed: Optional[bool] = None,
         probe: Optional[bool] = None,
+        gemm_dtype: str = "float32",
     ):
+        # gemm_dtype: model-stack GEMM compute dtype (ops.aggregate._gemm).
+        # f32 default keeps the reference's cuBLAS contract; "bfloat16" is
+        # the opt-in production lever for the dense stack.
         # probe: measured-probe tier autotune (graphs/hybrid.build_hybrid
         # ``probe``) — None auto-gates on TPU; False for correctness-only
         # paths (verification) where tier quality is irrelevant.
@@ -142,6 +146,7 @@ class InputProperty:
         self.agg_dtype = agg_dtype
         self.transposed = transposed
         self.probe = probe
+        self.gemm_dtype = gemm_dtype
 
         self.reorder_status = False
         self.layer_input: Optional[LayerConfig] = None
@@ -358,7 +363,7 @@ class InputProperty:
                 hg, device=device,
                 block_rows=li.block_parts, feature_tile=li.feature_tile,
                 agg_dtype=self.agg_dtype, transposed=transposed,
-                agg_feature_dim=agg_dims[0],
+                agg_feature_dim=agg_dims[0], gemm_dtype=self.gemm_dtype,
             )
 
             def _single(d):
@@ -380,7 +385,7 @@ class InputProperty:
                     hg, device=device,
                     block_rows=lh.block_parts, feature_tile=lh.feature_tile,
                     agg_dtype=self.agg_dtype, transposed=transposed,
-                    agg_feature_dim=agg_dims[1],
+                    agg_feature_dim=agg_dims[1], gemm_dtype=self.gemm_dtype,
                 )
             return gt_in, gt_hid
         groups = None
@@ -391,7 +396,8 @@ class InputProperty:
             if self.verbose:
                 print(f"# ell padding waste: {groups.padding_waste:.3f}")
         gt_in = build_graph_tensors(
-            self.graph, method=li.method, groups=groups, device=device
+            self.graph, method=li.method, groups=groups, device=device,
+            gemm_dtype=self.gemm_dtype,
         )
         if lh.method == li.method and lh.part_size == li.part_size:
             gt_hid = gt_in
@@ -401,5 +407,6 @@ class InputProperty:
                 method=lh.method,
                 part_size=lh.part_size,
                 device=device,
+                gemm_dtype=self.gemm_dtype,
             )
         return gt_in, gt_hid

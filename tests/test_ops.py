@@ -162,3 +162,41 @@ def test_ell_chunked_matches_unchunked(skewed_graph, norm, monkeypatch):
     monkeypatch.setattr(agg_mod, "_ELL_SCRATCH_BUDGET", 8 * 32 * 4 * 3)
     out = np.asarray(aggregate(x, gt, norm))
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gemm_dtype_bfloat16_close_to_f32():
+    """The opt-in bf16 model-stack GEMM (GraphTensors.gemm_dtype) matches
+    the f32 default within bf16 rounding, forward and backward, and the
+    default stays exactly the f32 path."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gnnadvisor_osdi21_tpu.graphs.loader import synthesize_graph
+    from gnnadvisor_osdi21_tpu.ops.aggregate import gcn_conv, gin_conv
+    from gnnadvisor_osdi21_tpu.ops.graph_tensors import build_graph_tensors
+
+    g = synthesize_graph(600, 5000, num_features=24, kind="powerlaw", seed=3)
+    gt32 = build_graph_tensors(g, method="ell", part_size=4)
+    assert gt32.gemm_dtype == "float32"
+    gt16 = dataclasses.replace(gt32, gemm_dtype="bfloat16")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, 24)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((24, 8)).astype(np.float32))
+
+    for conv in (gcn_conv, gin_conv):
+        def loss(gt):
+            return lambda x_, w_: (conv(x_, w_, gt) ** 2).mean()
+
+        o32 = np.asarray(conv(x, w, gt32))
+        o16 = np.asarray(conv(x, w, gt16))
+        scale = np.abs(o32).max()
+        np.testing.assert_allclose(o16, o32, atol=2e-2 * scale, rtol=2e-2)
+        g32 = jax.grad(loss(gt32), argnums=1)(x, w)
+        g16 = jax.grad(loss(gt16), argnums=1)(x, w)
+        gs = float(np.abs(np.asarray(g32)).max())
+        np.testing.assert_allclose(
+            np.asarray(g16), np.asarray(g32), atol=3e-2 * gs, rtol=3e-2
+        )
