@@ -151,6 +151,35 @@ def main(argv=None) -> int:
         flush=True,
     )
 
+    # --- 3b. ELL dist path (ragged exchange) executes on the chip --------
+    # (r5 moved the ELL wire to the compact ragged table; its TPU branch
+    # must lower and agree with the single-chip loss like the hybrid one)
+    from gnnadvisor_osdi21_tpu.parallel import dist_ops
+    from gnnadvisor_osdi21_tpu.parallel.partition import shard_graph
+
+    sge = shard_graph(g, num_devices=1, part_size=4)
+    loss_fn_e = dist_ops.make_dist_loss_fn(mesh, sge, "gcn")
+    garr_e = dist_ops.device_graph_arrays(sge, mesh)
+    n_pad_e = sge.num_devices * sge.block
+    xpe = np.zeros((n_pad_e, dim), dtype=np.float32)
+    xpe[: g.num_nodes] = x
+    ype = np.zeros(n_pad_e, dtype=np.int32)
+    ype[: g.num_nodes] = y
+    dist_e = float(jax.jit(loss_fn_e)(
+        p0,
+        garr_e,
+        jax.device_put(jnp.asarray(xpe), NamedSharding(mesh, P(GRAPH_AXIS, None))),
+        jax.device_put(jnp.asarray(ype), NamedSharding(mesh, P(GRAPH_AXIS))),
+    ))
+    eerr = abs(dist_e - single) / max(1.0, abs(single))
+    ep = eerr < 1e-4
+    ok &= ep
+    print(
+        f"ELL dist loss (ragged exchange) {dist_e:.6f} vs single-chip "
+        f"{single:.6f}: rel err {eerr:.2e} ({'PASS' if ep else 'FAIL'})",
+        flush=True,
+    )
+
     # --- 4. multi-device ragged collective vs the emulation table --------
     # (ADVICE r4: the multi-pair jax.lax.ragged_all_to_all branch only
     # lowers trivially on a 1-device mesh).  Hardware-gated: runs whenever
