@@ -706,6 +706,65 @@ def _probe_spmm_time(hg: "HybridGraph") -> float:
     return sec
 
 
+PROBE_CACHE_VERSION = 1  # bump when the probe protocol/constants change
+
+
+def _probe_cache_key(graph: GraphCSR, cands) -> str:
+    """Cheap structural fingerprint of (graph, candidate set): the probe's
+    verdict is deterministic up to measurement noise, so repeated CLI runs
+    over the same cached dataset (campaigns, bench drivers) should not
+    re-spend chip time re-probing it."""
+    import zlib
+
+    ci = np.asarray(graph.column_index, dtype=np.int32)
+    h = zlib.adler32(ci.tobytes())
+    h = zlib.adler32(np.asarray(graph.row_pointers, np.int64).tobytes(), h)
+    cand_sig = ",".join(f"{b}:{k}" for _, b, k in cands)
+    return (
+        f"v{PROBE_CACHE_VERSION}-n{graph.num_nodes}-e{graph.nnz}-"
+        f"{h:08x}-[{cand_sig}]"
+    )
+
+
+def _probe_cache_path() -> str:
+    import os
+
+    d = os.environ.get("GNNADVISOR_CACHE_DIR", os.path.join("data"))
+    return os.path.join(d, ".probe_cache.json")
+
+
+def _probe_cache_get(key: str):
+    import json
+    import os
+
+    path = _probe_cache_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fp:
+            return json.load(fp).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _probe_cache_put(key: str, value) -> None:
+    import json
+    import os
+
+    path = _probe_cache_path()
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as fp:
+                data = json.load(fp)
+        data[key] = value
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fp:
+            json.dump(data, fp, indent=0)
+    except (OSError, ValueError):
+        pass  # cache is best-effort
+
+
 def _maybe_probe_tiers(
     graph: GraphCSR,
     hg: "HybridGraph",
@@ -716,7 +775,10 @@ def _maybe_probe_tiers(
     row_align: int,
 ) -> "HybridGraph":
     """Probe the model's top tier candidates on device; return the measured
-    winner (``hg`` if probing is not warranted)."""
+    winner (``hg`` if probing is not warranted).  Verdicts are cached on
+    disk (data/.probe_cache.json) keyed by a graph fingerprint + the
+    candidate set, so repeated runs over the same dataset skip the chip
+    time."""
     cands = [c for c in ranked[:PROBE_TOP]]
     if len(cands) < 2:
         return hg
@@ -730,6 +792,16 @@ def _maybe_probe_tiers(
         close = cands[1][0] <= cands[0][0] * PROBE_BAND
         if graph.num_nodes > PROBE_ROW_LIMIT and not close:
             return hg
+    key = _probe_cache_key(graph, cands)
+    hit = _probe_cache_get(key)
+    if hit is not None:
+        b, k = int(hit[0]), int(hit[1])
+        if (b, k) == (hg.diag_b, hg.hot_k):
+            return hg
+        return build_hybrid(
+            graph, hot_k=k, diag_b=b, res_tile=res_tile, res_ob=res_ob,
+            row_align=row_align, probe=False,
+        )
     # The model pick is always the first candidate; a challenger must beat
     # it by more than the probe's own noise band (~±4% run-to-run on this
     # platform) to override — otherwise near-equal measurements would turn
@@ -746,7 +818,8 @@ def _maybe_probe_tiers(
         if best_sec is None or sec < best_sec:
             best_sec, best_hg = sec, cand
     if base_sec is not None and best_sec >= base_sec * (1.0 - PROBE_MARGIN):
-        return hg  # no significant measured win: trust the model
+        best_hg = hg  # no significant measured win: trust the model
+    _probe_cache_put(key, [best_hg.diag_b, best_hg.hot_k])
     return best_hg
 
 

@@ -44,3 +44,10 @@ def small_graph():
 def skewed_graph():
     """Power-law graph with degree skew (exercises part padding)."""
     return synthesize_graph(500, 5000, kind="powerlaw", seed=7)
+
+
+@pytest.fixture(autouse=True)
+def _isolated_probe_cache(tmp_path, monkeypatch):
+    """Probe verdicts written during tests (fake timers!) must never land
+    in the repo-level data/.probe_cache.json."""
+    monkeypatch.setenv("GNNADVISOR_CACHE_DIR", str(tmp_path))

@@ -412,3 +412,37 @@ def test_res_single_width_gate():
     wide_dim = RES_SINGLE_MAX_CELLS // hg.num_res_slots + 1
     wide = build_hybrid_tensors(hg, agg_feature_dim=wide_dim)
     assert wide.res_gather is not None  # two-stage
+
+
+def test_probe_cache_roundtrip(monkeypatch, tmp_path):
+    """Probe verdicts persist: the second build with the same graph and
+    candidate set must not call the timer again and must return the
+    cached winner."""
+    import gnnadvisor_osdi21_tpu.graphs.hybrid as H
+
+    monkeypatch.setenv("GNNADVISOR_CACHE_DIR", str(tmp_path))
+    g = synthesize_graph(3000, 40000, num_features=8, kind="powerlaw", seed=7)
+    base = build_hybrid(g, probe=False)
+    ranked = H.rank_tiers(
+        np.repeat(np.arange(g.num_nodes, dtype=np.int64),
+                  np.diff(g.row_pointers)),
+        np.asarray(g.column_index, dtype=np.int64),
+        g.num_nodes, res_ob=base.res_ob,
+    )
+    want = ranked[1][1:]
+    times = {c[1:]: 1.0 for c in ranked}
+    times[want] = 0.1
+    calls = []
+
+    def timer(hg):
+        calls.append((hg.diag_b, hg.hot_k))
+        return times[(hg.diag_b, hg.hot_k)]
+
+    monkeypatch.setattr(H, "_probe_spmm_time", timer)
+    first = build_hybrid(g, probe=True)
+    assert (first.diag_b, first.hot_k) == want
+    n_calls = len(calls)
+    assert n_calls >= 2
+    second = build_hybrid(g, probe=True)
+    assert (second.diag_b, second.hot_k) == want
+    assert len(calls) == n_calls  # cache hit: no new probe timings
