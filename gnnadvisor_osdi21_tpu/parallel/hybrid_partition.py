@@ -293,7 +293,8 @@ def shard_graph_hybrid(
         # both mask orientations travel: out-row-major for the CPU-mesh
         # reference path, slot-major for the transposed TPU kernels
         rg, rd_, rm, rms, rt, _pairs = build_residual_stream(
-            od_rows[~is_hot], od_cols[~is_hot], table, block, res_tile, res_ob
+            od_rows[~is_hot], od_cols[~is_hot], table, block, res_tile,
+            res_ob,
         )
         per.append((diag_bits, hot_ids, hot_bits, rg, rd_, rm, rms, rt))
         ug_max = max(ug_max, len(rg))
