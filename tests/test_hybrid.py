@@ -446,3 +446,33 @@ def test_probe_cache_roundtrip(monkeypatch, tmp_path):
     second = build_hybrid(g, probe=True)
     assert (second.diag_b, second.hot_k) == want
     assert len(calls) == n_calls  # cache hit: no new probe timings
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hybrid_fuzz_random_layouts_match_oracle(seed):
+    """Randomized end-to-end fuzz over graph kinds, tier configs, residual
+    geometry and gather formulation: every built layout must reproduce the
+    per-edge oracle."""
+    import dataclasses
+
+    from gnnadvisor_osdi21_tpu.ops.hybrid_agg import hybrid_aggregate
+
+    rng = np.random.default_rng(300 + seed)
+    kind = ["powerlaw", "community", "web", "uniform"][seed % 4]
+    n = int(rng.integers(800, 4000))
+    e = int(rng.integers(4 * n, 15 * n))
+    g = synthesize_graph(n, e, num_features=8, kind=kind, seed=seed)
+    hot_k = int(rng.choice([0, 512, 1024]))
+    diag_b = int(rng.choice([0, 512, 1024]))
+    res_ob = int(rng.choice([512, 1024, 2048]))
+    hg = build_hybrid(g, hot_k=hot_k, diag_b=diag_b, res_ob=res_ob)
+    single = bool(rng.integers(0, 2))
+    hg = dataclasses.replace(hg, res_single=single)
+    ht = build_hybrid_tensors(hg)
+    x = rng.standard_normal((g.num_nodes, 8)).astype(np.float32)
+    for norm in (False, True):
+        want = _oracle(g, x, norm)
+        got = hg.unpad_array(
+            np.asarray(hybrid_aggregate(jnp.asarray(hg.pad_array(x)), ht, norm))
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
