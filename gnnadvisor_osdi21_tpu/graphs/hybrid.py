@@ -676,9 +676,11 @@ PROBE_BAND = 1.35  # probe when cost2 <= cost1 * band (the model's ~1-sigma
 # families the model is known to mis-rank without probing clear wins)
 PROBE_ROW_LIMIT = 150_000  # always probe below this many rows (build+probe
 # costs seconds; the whole roster's small graphs sit here)
-PROBE_BUILD_ROW_CAP = 1_000_000  # default-auto never probes above this:
-# candidate layout builds cost minutes at ogbn scale (measured r5: the
-# probe turned a 60 s build into 454 s); probe=True still forces it
+PROBE_BUILD_ROW_CAP = 3_000_000  # default-auto never probes above this.
+# A probe at ogbn scale costs ~7 min of builds+timings (measured r5) but
+# pays once — the verdict cache replays it for free — and the probed
+# pick was worth 27% on the ogbn epoch ((1024,512) vs the model's
+# (512,512)).  Above the cap, probe=True still forces it.
 PROBE_ITERS = 100
 PROBE_MARGIN = 0.05  # a challenger must beat the model pick by >5%
 

@@ -104,12 +104,24 @@ def main(argv=None) -> int:
     )
 
     # a few full GCN train epochs at the real feature dim
-    # (train_and_time transposes x itself when the tensors are transposed)
+    # (train_and_time transposes x itself when the tensors are transposed).
+    # The epoch tensors carry the layers' true aggregate widths so the
+    # residual gather formulation follows the epoch-context rule
+    # (hybrid_agg agg_feature_dim / RES_SINGLE_MAX_CELLS) — at this slot
+    # count the wide-dim layers run two-stage.
+    ht_in = build_hybrid_tensors(
+        hg, transposed=True, agg_dtype="bfloat16",
+        agg_feature_dim=args.hidden,
+    )
+    ht_hid = build_hybrid_tensors(
+        hg, transposed=True, agg_dtype="bfloat16",
+        agg_feature_dim=args.classes,
+    )
     x = jnp.asarray(hg.pad_array(g.init_embedding(args.dim, seed=0)))
     y = jnp.asarray(hg.pad_array(g.init_labels(args.classes)))
     mask = jnp.asarray(hg.row_mask)
     r = train_and_time(
-        "gcn", (ht, ht), x, y, hidden=args.hidden,
+        "gcn", (ht_in, ht_hid), x, y, hidden=args.hidden,
         num_classes=args.classes, num_epochs=args.epochs, dry_run=2,
         mask=mask,
     )
