@@ -780,7 +780,13 @@ def _maybe_probe_tiers(
     winner (``hg`` if probing is not warranted).  Verdicts are cached on
     disk (data/.probe_cache.json) keyed by a graph fingerprint + the
     candidate set, so repeated runs over the same dataset skip the chip
-    time."""
+    time.
+
+    The probe's metric is the chained SpMM — a proxy for the epoch the
+    roster actually times.  Epoch-context effects the proxy cannot see
+    (gather-formulation inversion at wide dims, per-op ramps) are handled
+    by the width gate at tensor-build time, not here; candidates within
+    the proxy's noise band keep the model pick (PROBE_MARGIN)."""
     cands = [c for c in ranked[:PROBE_TOP]]
     if len(cands) < 2:
         return hg
