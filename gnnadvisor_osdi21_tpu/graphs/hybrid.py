@@ -161,10 +161,13 @@ class HybridGraph:
     # residual tier (res_dst.size == 0 = disabled).  One slot = one unique
     # (out-block, destination) pair; the multi-hot mask says which of the
     # block's res_ob rows it feeds (dedup: one gather serves every edge
-    # sharing the pair).  Gathers are two-stage because XLA's per-row
-    # gather cost roughly doubles on >~200k-row tables (measured): stage 1
-    # compacts the unique destinations into a small table, stage 2 feeds
-    # slots from it.
+    # sharing the pair).  The layout stores the TWO-STAGE chain (stage 1
+    # compacts unique destinations, stage 2 feeds slots from the table);
+    # whether the device tensors run it or precompose a single full-x
+    # gather is chosen per layer at tensor-build time (``res_single`` +
+    # the RES_SINGLE_MAX_CELLS width gate — chained kernels prefer
+    # single-stage at every measured width, epoch context flips above
+    # ~12M slots x agg_dim cells).
     res_gather: np.ndarray  # [Ud] int32 unique destination rows (stage 1)
     res_dst: np.ndarray  # [M_pad] int32 index into res_gather per slot
     res_mask: np.ndarray  # [res_ob/32, M_pad] uint32 multi-hot, transposed
