@@ -188,16 +188,21 @@ def _diag_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
         )
     # Reference path (CPU tests): explicit unpack of the transposed slab
     # (uint16 device layout: column j -> word j % W16, bit j // W16).
+    # Dots run with f32 operands: XLA:CPU's DotThunk cannot execute
+    # bf16 x bf16 -> f32 at some shapes (jax 0.9), and f32 products of
+    # bf16-valued inputs are bit-identical to the bf16-operand MXU
+    # contract (each product is exactly representable; accumulation is
+    # f32 either way).
     b = ht.diag_b
     nb = ht.num_rows // b
     w16 = b // 16
     j = jnp.arange(b)
     a = ((ht.diag_bits[j % w16, :].T >> (j // w16).astype(jnp.uint16)[None, :])
-         & 1).astype(x.dtype)  # [R, B]
+         & 1).astype(jnp.float32)  # [R, B]
     return jnp.einsum(
         "gbc,gcd->gbd",
         a.reshape(nb, b, b),
-        x.reshape(nb, b, -1),
+        x.astype(jnp.float32).reshape(nb, b, -1),
         preferred_element_type=jnp.float32,
     ).reshape(ht.num_rows, -1)
 
@@ -215,9 +220,12 @@ def _hot_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
     k = ht.hot_k
     w16 = k // 16
     j = jnp.arange(k)
+    # f32 operands: see _diag_aggregate's CPU-branch note
     a = ((ht.hot_bits[j % w16, :].T >> (j // w16).astype(jnp.uint16)[None, :])
-         & 1).astype(x.dtype)  # [R, K]
-    return jnp.matmul(a, x_hot, preferred_element_type=jnp.float32)
+         & 1).astype(jnp.float32)  # [R, K]
+    return jnp.matmul(
+        a, x_hot.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
 
 
 def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
@@ -260,12 +268,13 @@ def _residual_aggregate(x: jax.Array, ht: HybridTensors) -> jax.Array:
         ).astype(out.dtype)
     # Reference path (CPU tests): same transposed bit-major mask layout,
     # explicit unpack + einsum + one fat-row segment_sum over tiles.
-    rows = rows.reshape(t, ht.res_tile, d)
+    # f32 operands: see _diag_aggregate's CPU-branch note.
+    rows = rows.astype(jnp.float32).reshape(t, ht.res_tile, d)
     j = jnp.arange(ht.res_ob)
     oh = (
         (ht.res_mask[j % words, :].T.reshape(t, ht.res_tile, ht.res_ob)
          >> (j // words).astype(jnp.uint32)[None, None, :]) & 1
-    ).astype(x.dtype)  # [T, S, OB]
+    ).astype(jnp.float32)  # [T, S, OB]
     chunks = jnp.einsum(
         "tso,tsd->tod", oh, rows, preferred_element_type=jnp.float32
     )  # [T, OB, D]
